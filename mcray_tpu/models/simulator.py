@@ -1,0 +1,348 @@
+"""End-to-end ultrasound simulator: trace -> march -> RF image -> B-mode.
+
+TPU-first rebuild of the reference's frame loop (reference: src/main.cpp:92-152
+and scene::cast_rays, src/scene.cpp:50-183). Structural translation to XLA:
+
+- the ragged ``array<array<vector<segment>,S>,R>`` becomes a dense
+  ``(D, N, field)`` segment tensor with a validity mask (N = R*S paths),
+- the per-ray bounce loop becomes one ``lax.scan`` of static depth D over the
+  whole path batch,
+- the per-segment marching loop becomes a masked (N*D, MAX_STEPS) sample grid
+  scatter-added into the RF image in one shot,
+- all randomness is keyed (threefry counter PRNG) — one seed renders one
+  reproducible frame, vs the reference's per-call std::random_device.
+
+Everything below jit-compiles to a single XLA program; materials, probe pose
+and the scatterer field are differentiable inputs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from ..ops import imaging, physics, texture
+from ..ops.geometry import intersect_closest
+from ..ops.bvh import bvh_intersect_closest
+from ..probe.transducer import element_layout
+
+Array = jax.Array
+
+# Segment record field layout (dense equivalent of ray_physics::segment,
+# reference src/ray.h:28-36).
+SEGMENT_FIELDS = (
+    "from",            # (N,3) start of homogeneous span
+    "to",              # (N,3) end (inside_point for hits, ray end for misses)
+    "direction",       # (N,3)
+    "reflected",       # boundary echo intensity (Mattausch Eq. 8 term)
+    "initial",         # intensity at segment start (pre-attenuation)
+    "attenuation",     # media attenuation
+    "distance",        # mm travelled from transducer to segment start
+    "media_id",        # i32
+    "valid",           # bool
+)
+
+
+def distance_in_mm(a: Array, b: Array, spacing: Array) -> Array:
+    """World distance with per-axis spacing, x10 to mm (src/scene.cpp:281-290)."""
+    d = jnp.abs(a - b) * spacing
+    return jnp.sqrt(jnp.sum(d * d, axis=-1)) * 10.0
+
+
+def trace_paths(
+    key: Array,
+    materials: Array,          # (M, 8) f32 — differentiable
+    probe_position: Array,     # (3,)
+    probe_angles_deg: Array,   # (3,)
+    scene: dict[str, Any],     # trace_tables() of a ScenePack (+ spacing, start id)
+    spacing: Array,            # (3,)
+    starting_material: Array,  # scalar i32
+    cfg: SimConfig,
+    *,
+    use_bvh: bool = False,
+    bvh_arrays: tuple | None = None,
+    intersect_chunk: int = 0,
+) -> dict[str, Array]:
+    """Monte-Carlo path tracing for all R*S paths; returns the dense segment
+    tensor stacked over bounce depth: each field (D, N, ...)."""
+    n_rays = cfg.transducer_elements
+    n_samples = cfg.samples_per_element
+    n = n_rays * n_samples
+    freq = cfg.transducer_frequency
+    eps = cfg.intensity_epsilon
+
+    positions, directions = element_layout(probe_position, probe_angles_deg, cfg)
+    elem_idx = jnp.repeat(jnp.arange(n_rays, dtype=jnp.int32), n_samples)
+
+    tris = scene["tris"]
+    tri_mesh_id = scene["tri_mesh_id"]
+    mesh_in = scene["mesh_mat_inside"]
+    mesh_out = scene["mesh_mat_outside"]
+    mesh_vasc = scene["mesh_is_vascular"]
+
+    state = {
+        "from": jnp.repeat(positions, n_samples, axis=0),
+        "dir": jnp.repeat(directions, n_samples, axis=0),
+        "media_id": jnp.full((n,), starting_material, jnp.int32),
+        "media_outside_id": jnp.full((n,), -1, jnp.int32),
+        "intensity": jnp.full((n,), cfg.initial_intensity / n_samples, jnp.float32),
+        "distance_mm": jnp.zeros((n,), jnp.float32),
+        "alive": jnp.ones((n,), bool),
+    }
+
+    def bounce(state, depth):
+        kd = jax.random.fold_in(key, depth)
+        att = materials[state["media_id"], physics.ATTENUATION]
+        r_length = physics.max_ray_length(
+            jnp.maximum(state["intensity"], eps * 1e-3), att, freq, eps
+        )
+        origin = state["from"] + cfg.ray_start_offset * state["dir"]
+        # enlarge(): mm/100 with per-axis spacing (src/scene.cpp:292-298)
+        dest = state["from"] + (r_length[:, None] / 100.0) * spacing * state["dir"]
+        seg_vec = dest - origin
+
+        if use_bvh and bvh_arrays is not None:
+            nodes, meta, order = bvh_arrays
+            hits = bvh_intersect_closest(
+                origin, seg_vec, tris, tri_mesh_id, nodes, meta, order
+            )
+        else:
+            hits = intersect_closest(
+                origin, seg_vec, tris, tri_mesh_id, chunk=intersect_chunk
+            )
+        hit = hits["hit"] & state["alive"]
+
+        # sub-surface penetration fuzz: q ~ |N(0, thickness_inside)|
+        # (src/scene.cpp:129-139)
+        k_q, k_hb = jax.random.split(kd)
+        mesh_id_c = jnp.maximum(hits["mesh_id"], 0)
+        thick = materials[mesh_in[mesh_id_c], physics.THICKNESS]
+        q = jnp.abs(jax.random.normal(k_q, (n,)) * thick)
+        inside_point = hits["point"] + q[:, None] * state["dir"]
+
+        dist_mm = distance_in_mm(state["from"], inside_point, spacing)
+        intensity_before = state["intensity"]
+        intensity_travelled = intensity_before * physics.travel_attenuation(
+            att, dist_mm, freq
+        )
+
+        hb = physics.hit_boundary(
+            k_hb,
+            state["dir"],
+            hits["point"],
+            hits["normal"],
+            intensity_travelled,
+            state["media_id"],
+            state["media_outside_id"],
+            hits["mesh_id"],
+            materials,
+            mesh_in,
+            mesh_out,
+            mesh_vasc,
+            cfg,
+        )
+
+        miss = state["alive"] & ~hits["hit"]
+        segment = {
+            "from": state["from"],
+            "to": jnp.where(hit[:, None], inside_point, dest),
+            "direction": state["dir"],
+            "reflected": jnp.where(hit, hb["back_intensity"], 0.0),
+            "initial": intensity_before,
+            "attenuation": att,
+            "distance": state["distance_mm"],
+            "media_id": state["media_id"],
+            "valid": hit | miss,
+        }
+
+        new_state = {
+            "from": jnp.where(hit[:, None], hb["new_from"], state["from"]),
+            "dir": jnp.where(hit[:, None], hb["new_direction"], state["dir"]),
+            "media_id": jnp.where(hit, hb["new_media_id"], state["media_id"]),
+            "media_outside_id": jnp.where(
+                hit, hb["new_media_outside_id"], state["media_outside_id"]
+            ),
+            "intensity": jnp.where(hit, hb["new_intensity"], state["intensity"]),
+            "distance_mm": jnp.where(
+                hit, state["distance_mm"] + dist_mm, state["distance_mm"]
+            ),
+            "alive": hit & (hb["new_intensity"] > eps),
+        }
+        return new_state, segment
+
+    _, segments = jax.lax.scan(bounce, state, jnp.arange(cfg.max_depth))
+    segments["element"] = jnp.broadcast_to(elem_idx, (cfg.max_depth, n))
+    return segments
+
+
+def march_and_accumulate(
+    segments: dict[str, Array],
+    materials: Array,
+    volume: dict[str, Array],
+    cfg: SimConfig,
+) -> Array:
+    """Segment marching + echo scatter-add (reference main loop,
+    src/main.cpp:106-141) as one masked dense grid."""
+    d, n = segments["valid"].shape
+    flat = {k: v.reshape((d * n,) + v.shape[2:]) for k, v in segments.items()}
+
+    axres = cfg.axial_resolution_mm
+    freq = cfg.transducer_frequency
+    t_window = float(cfg.max_travel_time_us)
+    dt = cfg.march_dt_us
+    max_steps = cfg.max_march_steps
+
+    # scene::distance ignores spacing (src/scene.cpp:342-346)
+    seg_len = jnp.linalg.norm(flat["to"] - flat["from"], axis=-1) * 10.0
+    steps = jnp.floor(seg_len / axres).astype(jnp.int32)
+    t0 = flat["distance"] * 1000.0 / cfg.speed_of_sound
+
+    mu0 = materials[flat["media_id"], physics.MU0]
+    mu1 = materials[flat["media_id"], physics.MU1]
+    sigma = materials[flat["media_id"], physics.SIGMA]
+    att_step = jnp.exp(-flat["attenuation"] * axres * 0.01 * freq)
+
+    k = jnp.arange(max_steps, dtype=jnp.float32)[None, :]  # (1, K)
+    t_k = t0[:, None] + k * dt
+    live = (k < steps[:, None]) & (t_k < t_window) & flat["valid"][:, None]
+
+    points = (
+        flat["from"][:, None, :]
+        + (k * axres)[..., None] * flat["direction"][:, None, :]
+    )  # (DN, K, 3)
+    intens = flat["initial"][:, None] * jnp.power(att_step[:, None], k)
+    scat = texture.get_scattering(
+        volume,
+        mu1[:, None] * jnp.ones_like(t_k),
+        mu0[:, None] * jnp.ones_like(t_k),
+        sigma[:, None] * jnp.ones_like(t_k),
+        points,
+        cfg,
+    )
+    values = intens * scat
+
+    rows = imaging.time_to_row(t_k, cfg)
+    cols = jnp.broadcast_to(flat["element"][:, None], rows.shape)
+
+    # boundary echo at t0 + dt*(steps-1); steps==0 underflows to a dropped
+    # row in the reference (unsigned wrap, src/main.cpp:139) -> mask it out.
+    s = cfg.samples_per_element
+    b_time = t0 + dt * (steps.astype(jnp.float32) - 1.0)
+    b_valid = flat["valid"] & (steps >= 1)
+    b_rows = imaging.time_to_row(b_time, cfg)
+    b_vals = flat["reflected"] / s
+
+    all_rows = jnp.concatenate([rows.reshape(-1), b_rows])
+    all_cols = jnp.concatenate([cols.reshape(-1), flat["element"]])
+    all_vals = jnp.concatenate([values.reshape(-1), b_vals])
+    all_valid = jnp.concatenate([live.reshape(-1), b_valid])
+    return imaging.accumulate_echoes(all_rows, all_cols, all_vals, all_valid, cfg)
+
+
+def render(
+    key: Array,
+    materials: Array,
+    probe_position: Array,
+    probe_angles_deg: Array,
+    scene: dict[str, Any],
+    spacing: Array,
+    starting_material: Array,
+    volume: dict[str, Array],
+    scan_maps: tuple[Array, Array],
+    cfg: SimConfig,
+    **trace_kw,
+) -> dict[str, Array]:
+    """Full frame: returns bmode (bmode_rows, bmode_cols) plus intermediates."""
+    k_trace = jax.random.fold_in(key, 0)
+    segments = trace_paths(
+        k_trace,
+        materials,
+        probe_position,
+        probe_angles_deg,
+        scene,
+        spacing,
+        starting_material,
+        cfg,
+        **trace_kw,
+    )
+    rf_raw = march_and_accumulate(segments, materials, volume, cfg)
+    rf_conv = imaging.convolve_psf(rf_raw, cfg)
+    rf_env = imaging.envelope(rf_conv)
+    bmode = imaging.scan_convert(rf_env, scan_maps[0], scan_maps[1])
+    return {
+        "bmode": bmode,
+        "rf_raw": rf_raw,
+        "rf_conv": rf_conv,
+        "rf_env": rf_env,
+        "segments_valid": segments["valid"],
+    }
+
+
+class Simulator:
+    """Convenience wrapper binding a compiled scene + config into jitted
+    render / rays-per-second entry points."""
+
+    def __init__(self, pack, cfg: SimConfig, *, use_bvh: bool = False, seed: int = 0):
+        self.cfg = cfg
+        self.pack = pack
+        self.use_bvh = use_bvh and pack.bvh is not None
+        self.scene = {k: jnp.asarray(v) for k, v in pack.trace_tables().items()}
+        self.spacing = jnp.asarray(pack.spacing)
+        self.starting_material = jnp.int32(pack.starting_material)
+        self.materials = jnp.asarray(pack.materials)
+        self.volume = texture.make_texture_volume(jax.random.PRNGKey(seed ^ 0x5CA77E7), cfg)
+        maps = imaging.scan_conversion_maps(cfg)
+        self.scan_maps = (jnp.asarray(maps[0]), jnp.asarray(maps[1]))
+        if self.use_bvh:
+            b = pack.bvh
+            self.bvh_arrays = (
+                jnp.asarray(b.nodes),
+                jnp.asarray(b.meta),
+                jnp.asarray(b.tri_order),
+            )
+        else:
+            self.bvh_arrays = None
+
+        @functools.partial(jax.jit, static_argnames=("self_cfg_hash",))
+        def _render(key, materials, pos, ang, self_cfg_hash):
+            del self_cfg_hash
+            return render(
+                key,
+                materials,
+                pos,
+                ang,
+                self.scene,
+                self.spacing,
+                self.starting_material,
+                self.volume,
+                self.scan_maps,
+                cfg,
+                use_bvh=self.use_bvh,
+                bvh_arrays=self.bvh_arrays,
+            )
+
+        self._render = _render
+
+    def render_frame(self, seed: int = 0, materials=None, position=None, angles=None):
+        key = jax.random.PRNGKey(seed)
+        return self._render(
+            key,
+            self.materials if materials is None else materials,
+            jnp.asarray(self.pack.transducer_position if position is None else position),
+            jnp.asarray(self.pack.transducer_angles if angles is None else angles),
+            hash(self.cfg),
+        )
+
+    @property
+    def rays_per_frame(self) -> int:
+        """Traced path-bounce queries per frame (the reference's rayTest
+        count upper bound, src/scene.cpp:75-117)."""
+        return (
+            self.cfg.transducer_elements
+            * self.cfg.samples_per_element
+            * self.cfg.max_depth
+        )

@@ -1,0 +1,197 @@
+"""RF image pipeline: echo accumulation, PSF convolution, envelope detection,
+scan conversion.
+
+TPU-native rebuild of the reference's rf_image<cols, max_t, axial_res>
+(reference: src/rfimage.h). The per-echo ``+=`` becomes a masked scatter-add;
+the two nested convolution loops become sliced tensor contractions XLA fuses
+on the VPU; the sequential per-column peak walk of ``envelope()`` is
+re-derived as a closed-form parallel prefix (peaks are exactly the
+rise-then-non-rise samples, see proof in ``envelope``); ``cv::remap`` scan
+conversion becomes a precomputed gather map + bilinear ``map_coordinates`` —
+fully differentiable end to end.
+
+Reference-exact mode (default) replicates the uncentered kernels and the
+untouched border regions byte-for-byte in composition (SURVEY.md §7 quirks);
+``cfg.centered_psf`` switches to a centered 'same' convolution.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from . import psf as psf_mod
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Echo accumulation (reference add_echo, src/rfimage.h:33-40)
+# ---------------------------------------------------------------------------
+
+def time_to_row(time_us: Array, cfg: SimConfig) -> Array:
+    """row = floor(t / (axial_res_um / c)) — the truncated-int binning of
+    add_echo (src/rfimage.h:35, int conversion of the dimensionless row)."""
+    return jnp.floor(time_us / cfg.rf_row_dt_us).astype(jnp.int32)
+
+
+def accumulate_echoes(
+    rows: Array,   # (N,) i32 target rows (any value; invalid masked)
+    cols: Array,   # (N,) i32 target columns
+    values: Array, # (N,) f32 echo intensities
+    valid: Array,  # (N,) bool
+    cfg: SimConfig,
+) -> Array:
+    """Masked scatter-add into a fresh (rf_rows, rf_cols) image."""
+    ok = valid & (rows >= 0) & (rows < cfg.rf_rows)
+    rf = jnp.zeros((cfg.rf_rows, cfg.rf_cols), jnp.float32)
+    safe_rows = jnp.where(ok, rows, 0)
+    safe_cols = jnp.where(ok, cols, 0)
+    vals = jnp.where(ok, values, 0.0)
+    return rf.at[safe_rows, safe_cols].add(vals)
+
+
+# ---------------------------------------------------------------------------
+# PSF convolution (reference convolve, src/rfimage.h:93-123)
+# ---------------------------------------------------------------------------
+
+def convolve_psf(rf: Array, cfg: SimConfig) -> Array:
+    ax = psf_mod.axial_kernel(cfg)
+    lat = psf_mod.lateral_kernel(cfg)
+    if cfg.centered_psf:
+        return _convolve_centered(rf, ax, lat)
+    return _convolve_reference(rf, ax, lat)
+
+
+def _convolve_reference(rf: Array, ax: Array, lat: Array) -> Array:
+    """Exact reference composition: forward-shifted (uncentered) kernels,
+    axial pass into a buffer for rows [A, R-A), lateral pass written back to
+    the image only for rows [A, R-A) x cols [L/2, C-L) — all other cells keep
+    their RAW pre-convolution echo values (src/rfimage.h:97-122)."""
+    rows, cols = rf.shape
+    a = ax.shape[0]
+    l = lat.shape[0]
+
+    # conv_ax_valid[r, c] = sum_k rf[r+k, c] * ax[k], r in [0, rows-a]
+    rv = rows - a + 1
+    conv_ax = sum(rf[k : k + rv, :] * ax[k] for k in range(a))
+    # Embed at the reference's row window [a, rows-a). Rows below a in the
+    # buffer are never read by the lateral pass.
+    buf = jnp.zeros_like(rf).at[a : rows - a, :].set(conv_ax[a : rows - a, :])
+
+    cv = cols - l + 1
+    conv_lat = sum(buf[:, k : k + cv] * lat[k] for k in range(l))
+
+    out = rf.at[a : rows - a, l // 2 : cols - l].set(
+        conv_lat[a : rows - a, l // 2 : cols - l]
+    )
+    return out
+
+
+def _convolve_centered(rf: Array, ax: Array, lat: Array) -> Array:
+    """Centered separable 'same' correlation with zero padding — the
+    fixed-up variant of the reference's shifted kernels."""
+    a, l = ax.shape[0], lat.shape[0]
+    pa, pl = a // 2, l // 2
+    padded = jnp.pad(rf, ((pa, a - 1 - pa), (0, 0)))
+    rv = rf.shape[0]
+    axial = sum(padded[k : k + rv, :] * ax[k] for k in range(a))
+    padded2 = jnp.pad(axial, ((0, 0), (pl, l - 1 - pl)))
+    cv = rf.shape[1]
+    return sum(padded2[:, k : k + cv] * lat[k] for k in range(l))
+
+
+# ---------------------------------------------------------------------------
+# Envelope (reference envelope, src/rfimage.h:54-91)
+# ---------------------------------------------------------------------------
+
+def envelope(rf: Array) -> Array:
+    """Parallel closed form of the reference's sequential peak-lerp walk.
+
+    The C++ keeps an ``ascending`` flag and, at the first non-rise after a
+    rise, lerps |peak| values across the gap. Unrolling the state machine:
+    a peak fires at row i (1 <= i <= R-2) iff x[i-1] < x[i] and x[i] >= x[i+1]
+    (the flag is true at i exactly when i-1 -> i rose, since any earlier
+    descent would have fired and cleared it). Rows after the last peak, and
+    all rows when no peak exists, keep their raw values; rows before the
+    first peak lerp from x[0] (raw, not abs — reference init, rfimage.h:63-64).
+    """
+    rows = rf.shape[0]
+    x = rf
+    rise = x[:-1] < x[1:]  # rise[i]: x[i] < x[i+1], length rows-1
+    peak = jnp.zeros_like(x, dtype=bool)
+    # peaks at i in [1, rows-2]: rise[i-1] & ~rise[i]
+    peak = peak.at[1:-1].set(rise[:-1] & ~rise[1:])
+
+    idx = jnp.arange(rows)[:, None] if rf.ndim == 2 else jnp.arange(rows)
+    big = jnp.int32(rows + 1)
+    idx_b = jnp.broadcast_to(idx, rf.shape)
+
+    # next peak strictly after j: reverse cummin of peak indices, shifted by 1
+    peak_idx = jnp.where(peak, idx_b, big)
+    m = jax.lax.cummin(peak_idx, axis=0, reverse=True)  # min peak >= j
+    npk = jnp.concatenate([m[1:], jnp.full_like(m[:1], big)], axis=0)
+
+    # previous peak at or before j (or -1)
+    prev_idx = jnp.where(peak, idx_b, -1)
+    ppk = jax.lax.cummax(prev_idx, axis=0)
+
+    prev_pos = jnp.maximum(ppk, 0)
+    take = jax.vmap(lambda col, pos: col[pos], in_axes=(1, 1), out_axes=1) if rf.ndim == 2 else (lambda col, pos: col[pos])
+    prev_val = jnp.where(ppk < 0, x[0], jnp.abs(take(x, prev_pos)))
+
+    has_next = npk < big
+    npk_pos = jnp.where(has_next, npk, 0)
+    next_val = jnp.abs(take(x, npk_pos))
+
+    denom = jnp.maximum(npk_pos - prev_pos, 1)
+    alpha = (idx_b - prev_pos).astype(rf.dtype) / denom.astype(rf.dtype)
+    lerped = prev_val * (1.0 - alpha) + next_val * alpha
+    return jnp.where(has_next, lerped, x)
+
+
+# ---------------------------------------------------------------------------
+# Scan conversion (reference create_mapping + cv::remap, src/rfimage.h:183-215, :139)
+# ---------------------------------------------------------------------------
+
+def scan_conversion_maps(cfg: SimConfig) -> tuple[np.ndarray, np.ndarray]:
+    """Precomputed polar->Cartesian gather maps, numerically identical to the
+    reference's create_mapping (src/rfimage.h:183-215). Returns
+    (map_row, map_col), each (bmode_rows, bmode_cols) float32 giving the RF
+    image coordinates to sample for each output pixel."""
+    out_rows, out_cols = cfg.bmode_rows, cfg.bmode_cols
+    radius_mm = cfg.transducer_radius_cm * 10.0
+    total = cfg.transducer_amplitude_rad
+    depth_mm = cfg.max_travel_time_us * cfg.speed_of_sound * 0.001
+
+    ratio = (depth_mm + radius_mm - radius_mm * np.cos(total / 2.0)) / out_rows
+    shift_y = radius_mm * np.cos(total / 2.0)
+    half_width = out_cols / 2.0
+
+    i = np.arange(out_rows, dtype=np.float32)[:, None]
+    j = np.arange(out_cols, dtype=np.float32)[None, :]
+    fi = i + shift_y / ratio
+    fj = j - half_width
+    r = np.sqrt(fi * fi + fj * fj)
+    angle = np.arctan2(fj, fi)
+
+    map_row = (r * ratio - radius_mm) / depth_mm * cfg.rf_rows
+    map_col = (angle + total / 2.0) / total * cfg.rf_cols
+    return map_row.astype(np.float32), map_col.astype(np.float32)
+
+
+def scan_convert(rf: Array, map_row: Array, map_col: Array) -> Array:
+    """Bilinear gather with zero fill outside — cv::remap(INTER_LINEAR,
+    BORDER_CONSTANT, 0) equivalent, and differentiable."""
+    return jax.scipy.ndimage.map_coordinates(
+        rf, [map_row, map_col], order=1, mode="constant", cval=0.0
+    )
+
+
+def log_compress(img: Array) -> Array:
+    """The reference's commented-out log compression (src/rfimage.h:131-136),
+    available behind a flag."""
+    mx = jnp.max(img)
+    return jnp.log10(img + 1.0) / jnp.log10(mx + 1.0)

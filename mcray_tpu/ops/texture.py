@@ -1,0 +1,93 @@
+"""Tiled Gaussian scatterer texture volume.
+
+TPU-native rebuild of the reference's 256^3 host-RAM voxel grid
+(reference: src/volume.h). Two N(0,1) fields (texture noise, scattering
+probability) are generated once on device with a counter-based key — the
+reference's std::default_random_engine fill is deterministic but
+implementation-defined; we match it statistically, not bitwise (SURVEY.md §4).
+
+Lookup replicates the C++ semantics exactly in hard mode:
+- nearest voxel via C-style float->unsigned truncation + % size wrap
+  (src/volume.h:52-54); size divides 2^32 so signed truncate-then-mod matches
+  the unsigned wrap bit-for-bit.
+- Burger13 Eq. 15 threshold: prob >= density ? noise*sigma + mu : 0
+  (src/volume.h:58-60).
+
+Soft mode (cfg.soft_scattering / cfg.trilinear_texture) swaps in a sigmoid
+gate and trilinear interpolation so the scattering field is differentiable in
+position and density — the relaxation flagged in SURVEY.md §7.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SimConfig
+
+Array = jax.Array
+
+
+def make_texture_volume(key: Array, cfg: SimConfig) -> dict[str, Array]:
+    """(size^3) noise + probability fields, fp32 on device."""
+    k1, k2 = jax.random.split(key)
+    s = cfg.volume_size
+    return {
+        "noise": jax.random.normal(k1, (s, s, s), jnp.float32),
+        "prob": jax.random.normal(k2, (s, s, s), jnp.float32),
+    }
+
+
+def _wrap_index(x: Array, res_mm: float, size: int) -> Array:
+    """static_cast<unsigned>(x/res) % size for possibly-negative x."""
+    q = jnp.trunc(x / res_mm).astype(jnp.int32)
+    return jnp.mod(jnp.mod(q, size) + size, size)
+
+
+def get_scattering(
+    volume: dict[str, Array],
+    density: Array,   # (N,) — called with material mu1 (src/main.cpp:126)
+    mu: Array,        # (N,) — material mu0
+    sigma: Array,     # (N,)
+    points: Array,    # (N, 3) world coords (the reference passes them as mm)
+    cfg: SimConfig,
+) -> Array:
+    res = cfg.resolution_um / 1000.0
+    size = cfg.volume_size
+    noise_v = volume["noise"]
+    prob_v = volume["prob"]
+
+    if cfg.trilinear_texture:
+        f = points / res - 0.5
+        i0 = jnp.floor(f).astype(jnp.int32)
+        w = f - i0
+
+        def tap(offset):
+            idx = jnp.mod(jnp.mod(i0 + offset, size) + size, size)
+            n = noise_v[idx[..., 0], idx[..., 1], idx[..., 2]]
+            p = prob_v[idx[..., 0], idx[..., 1], idx[..., 2]]
+            wt = jnp.prod(
+                jnp.where(jnp.asarray(offset) == 1, w, 1.0 - w), axis=-1
+            )
+            return n * wt, p * wt
+
+        noise = jnp.zeros(points.shape[:-1], jnp.float32)
+        prob = jnp.zeros(points.shape[:-1], jnp.float32)
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    n, p = tap(jnp.array([dx, dy, dz]))
+                    noise = noise + n
+                    prob = prob + p
+    else:
+        ix = _wrap_index(points[..., 0], res, size)
+        iy = _wrap_index(points[..., 1], res, size)
+        iz = _wrap_index(points[..., 2], res, size)
+        noise = noise_v[ix, iy, iz]
+        prob = prob_v[ix, iy, iz]
+
+    value = noise * sigma + mu
+    if cfg.soft_scattering:
+        gate = jax.nn.sigmoid((prob - density) / cfg.soft_scattering_tau)
+        return value * gate
+    return jnp.where(prob >= density, value, 0.0)

@@ -1,0 +1,49 @@
+"""Convex-array transducer layout as a pure, differentiable function of pose.
+
+TPU-native rebuild of the reference's mutable ``transducer<N>`` class
+(reference: src/transducer.h:24-118): instead of an object whose ``update()``
+rewrites an element array in place, element positions/directions are a pure
+function of ``(position, angles)`` — so probe pose is a differentiable input
+and a probe sweep is just a ``vmap`` over poses (the interactive loop the
+reference stubbed out via its dead inputmanager, SURVEY.md §3.4).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from ..ops.geometry import euler_zxy
+
+Array = jax.Array
+
+
+def element_layout(
+    position: Array,  # (3,) world units
+    angles_deg: Array,  # (3,) degrees, reference order [x, y, z]
+    cfg: SimConfig,
+):
+    """Positions and outward directions of all N elements.
+
+    Matches the reference arc construction exactly
+    (reference: src/transducer.h:41-59): angular pitch = separation/radius,
+    first element at -(pitch*N/2) + pitch/2, unit vector (sin a, cos a, 0)
+    rotated by the z->x->y chain; position = probe_pos + radius_cm * dir.
+
+    Returns (positions (N,3), directions (N,3)).
+    """
+    n = cfg.transducer_elements
+    radius_mm = cfg.transducer_radius_cm * 10.0
+    pitch = cfg.element_separation_mm / radius_mm  # [rad] per element
+    angle0 = -(pitch * n / 2.0) + pitch / 2.0
+    angles = angle0 + pitch * jnp.arange(n, dtype=jnp.float32)
+
+    base = jnp.stack(
+        [jnp.sin(angles), jnp.cos(angles), jnp.zeros_like(angles)], axis=-1
+    )  # (N, 3)
+    angles_rad = jnp.deg2rad(jnp.asarray(angles_deg, jnp.float32))
+    directions = euler_zxy(base, angles_rad)
+    # radius.to<float>() is in cm in the reference (world units are cm-ish).
+    positions = jnp.asarray(position, jnp.float32) + cfg.transducer_radius_cm * directions
+    return positions, directions

@@ -1,0 +1,121 @@
+"""Procedural test meshes.
+
+The reference scenes refer to BOX.obj / SPHERE.obj assets that are not in the
+repository; these generators produce equivalent phantoms (and the synthetic
+"ircad-like" organ set used for large-scene benchmarks) so every example
+.scene is runnable out of the box.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .obj import save_obj
+
+
+def box_mesh(half_extent=5.0, center=(0.0, 0.0, 0.0)):
+    hx = hy = hz = half_extent
+    c = np.asarray(center, np.float32)
+    v = np.array(
+        [
+            [-hx, -hy, -hz], [hx, -hy, -hz], [hx, hy, -hz], [-hx, hy, -hz],
+            [-hx, -hy, hz], [hx, -hy, hz], [hx, hy, hz], [-hx, hy, hz],
+        ],
+        np.float32,
+    ) + c
+    f = np.array(
+        [
+            [0, 2, 1], [0, 3, 2],  # -z
+            [4, 5, 6], [4, 6, 7],  # +z
+            [0, 1, 5], [0, 5, 4],  # -y
+            [3, 6, 2], [3, 7, 6],  # +y
+            [0, 7, 3], [0, 4, 7],  # -x
+            [1, 2, 6], [1, 6, 5],  # +x
+        ],
+        np.int32,
+    )
+    return v, f
+
+
+def sphere_mesh(radius=2.5, center=(0.0, 0.0, 0.0), n_theta=24, n_phi=48):
+    """UV sphere with outward-facing windings."""
+    c = np.asarray(center, np.float32)
+    verts = [np.array([0, 0, radius]), np.array([0, 0, -radius])]
+    ring_start = []
+    for i in range(1, n_theta):
+        th = np.pi * i / n_theta
+        ring_start.append(len(verts))
+        for j in range(n_phi):
+            ph = 2 * np.pi * j / n_phi
+            verts.append(
+                radius
+                * np.array([np.sin(th) * np.cos(ph), np.sin(th) * np.sin(ph), np.cos(th)])
+            )
+    v = np.asarray(verts, np.float32) + c
+    f = []
+    # top cap
+    for j in range(n_phi):
+        f.append([0, ring_start[0] + j, ring_start[0] + (j + 1) % n_phi])
+    # bands
+    for i in range(len(ring_start) - 1):
+        a, b = ring_start[i], ring_start[i + 1]
+        for j in range(n_phi):
+            j2 = (j + 1) % n_phi
+            f.append([a + j, b + j, b + j2])
+            f.append([a + j, b + j2, a + j2])
+    # bottom cap
+    last = ring_start[-1]
+    for j in range(n_phi):
+        f.append([1, last + (j + 1) % n_phi, last + j])
+    return v, np.asarray(f, np.int32)
+
+
+def ellipsoid_mesh(radii=(3.0, 2.0, 1.5), center=(0, 0, 0), n_theta=20, n_phi=40):
+    v, f = sphere_mesh(1.0, (0, 0, 0), n_theta, n_phi)
+    v = v * np.asarray(radii, np.float32) + np.asarray(center, np.float32)
+    return v, f
+
+
+def ensure_assets(asset_dir: str) -> None:
+    """Write BOX.obj and SPHERE.obj phantoms if absent (sphere-scene assets)."""
+    os.makedirs(asset_dir, exist_ok=True)
+    box_path = os.path.join(asset_dir, "BOX.obj")
+    sph_path = os.path.join(asset_dir, "SPHERE.obj")
+    if not os.path.exists(box_path):
+        save_obj(box_path, *box_mesh(half_extent=6.0))
+    if not os.path.exists(sph_path):
+        save_obj(sph_path, *sphere_mesh(radius=2.5))
+
+
+_IRCAD_ORGANS = [
+    # (file stem, radii, center, subdivision). File names match the
+    # santi-*.scene mesh entries. The geometry is synthetic (the IRCAD-11
+    # dataset is external, examples/ircad11/README); sizes are in the scene's
+    # pre-scaling mesh frame: meshes get scaling=0.1 and are placed at
+    # deltas*scaling^2 + origin with origin (-18,-22,-5) (src/scene.cpp:313-324),
+    # so a radius of ~60 mesh units ends up ~6 world units.
+    ("skin", (140.0, 100.0, 120.0), (180.0, 220.0, 50.0), 28),
+    ("liver", (70.0, 50.0, 60.0), (140.0, 230.0, 80.0), 26),
+    ("right_kidney", (25.0, 18.0, 15.0), (150.0, 180.0, 20.0), 20),
+    ("left_kidney", (25.0, 18.0, 15.0), (230.0, 180.0, 20.0), 20),
+    ("gallbladder", (15.0, 10.0, 10.0), (160.0, 220.0, 110.0), 16),
+    ("aorta", (10.0, 60.0, 10.0), (190.0, 220.0, 10.0), 18),
+    ("cava", (11.0, 60.0, 11.0), (165.0, 220.0, 5.0), 18),
+    ("porta", (8.0, 8.0, 30.0), (150.0, 230.0, 50.0), 14),
+    ("bones", (90.0, 85.0, 95.0), (180.0, 225.0, -10.0), 22),
+    ("right_suprarrenal", (9.0, 9.0, 9.0), (150.0, 200.0, 30.0), 12),
+    ("left_suprarrenal", (9.0, 9.0, 9.0), (230.0, 200.0, 30.0), 12),
+]
+
+
+def ensure_ircad_assets(asset_dir: str) -> None:
+    """Synthetic 11-organ abdomen standing in for the IRCAD-11 meshes (the
+    dataset is external, examples/ircad11/README). File names match the
+    .scene entries so santi-*.scene parse and run unmodified."""
+    os.makedirs(asset_dir, exist_ok=True)
+    for name, radii, center, sub in _IRCAD_ORGANS:
+        path = os.path.join(asset_dir, f"{name}.obj")
+        if not os.path.exists(path):
+            save_obj(path, *ellipsoid_mesh(radii, center, sub, 2 * sub))
