@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..config import SimConfig
 from ..ops import imaging, physics, texture
-from ..ops.geometry import intersect_closest
+from ..ops.geometry import intersect_closest, safe_norm
 from ..ops.bvh import bvh_intersect_closest
 from ..probe.transducer import element_layout
 
@@ -50,7 +50,7 @@ SEGMENT_FIELDS = (
 def distance_in_mm(a: Array, b: Array, spacing: Array) -> Array:
     """World distance with per-axis spacing, x10 to mm (src/scene.cpp:281-290)."""
     d = jnp.abs(a - b) * spacing
-    return jnp.sqrt(jnp.sum(d * d, axis=-1)) * 10.0
+    return safe_norm(d) * 10.0
 
 
 def trace_paths(
@@ -197,7 +197,7 @@ def march_and_accumulate(
     max_steps = cfg.max_march_steps
 
     # scene::distance ignores spacing (src/scene.cpp:342-346)
-    seg_len = jnp.linalg.norm(flat["to"] - flat["from"], axis=-1) * 10.0
+    seg_len = safe_norm(flat["to"] - flat["from"]) * 10.0
     steps = jnp.floor(seg_len / axres).astype(jnp.int32)
     t0 = flat["distance"] * 1000.0 / cfg.speed_of_sound
 

@@ -43,10 +43,21 @@ def euler_zxy(v: Array, angles_rad: Array) -> Array:
     return v
 
 
+def safe_sqrt(x: Array, eps: float = 0.0) -> Array:
+    """sqrt with a finite VJP at 0 (double-where so masked-out lanes cannot
+    poison gradients with inf * 0 = NaN)."""
+    ok = x > eps
+    return jnp.where(ok, jnp.sqrt(jnp.where(ok, x, 1.0)), 0.0)
+
+
+def safe_norm(v: Array, axis: int = -1, keepdims: bool = False) -> Array:
+    """L2 norm with a finite VJP at 0."""
+    return safe_sqrt(jnp.sum(v * v, axis=axis, keepdims=keepdims))
+
+
 def normalize(v: Array, eps: float = 0.0) -> Array:
-    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
-    if eps:
-        n = jnp.maximum(n, eps)
+    n = safe_norm(v, keepdims=True)
+    n = jnp.maximum(n, eps if eps else 1e-30)
     return v / n
 
 
@@ -66,7 +77,8 @@ def _moller_trumbore(origin, seg, v0, e1, e2, eps=1e-9):
     sets kF_FilterBackfaces)."""
     pvec = jnp.cross(seg, e2)
     det = jnp.sum(e1 * pvec, axis=-1)
-    inv_det = jnp.where(jnp.abs(det) > eps, 1.0 / det, 0.0)
+    det_ok = jnp.abs(det) > eps
+    inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
     tvec = origin - v0
     u = jnp.sum(tvec * pvec, axis=-1) * inv_det
     qvec = jnp.cross(tvec, e1)

@@ -34,9 +34,10 @@ IMPEDANCE, ATTENUATION, MU0, MU1, SIGMA, SPECULARITY, SHININESS, THICKNESS = ran
 
 def safe_pow(base: Array, exponent: Array) -> Array:
     """max(base,0)^exponent with 0^e = 0 — the value the reference's
-    max(pow(...), 0) composition intends for positive exponents."""
-    b = jnp.maximum(base, 0.0)
-    return jnp.where(b > 0.0, jnp.power(b, exponent), 0.0)
+    max(pow(...), 0) composition intends for positive exponents. Double-where
+    keeps the VJP finite at base <= 0."""
+    ok = base > 0.0
+    return jnp.where(ok, jnp.power(jnp.where(ok, base, 1.0), exponent), 0.0)
 
 
 def max_ray_length(intensity: Array, attenuation: Array, frequency: float, eps: float) -> Array:
@@ -90,7 +91,7 @@ def reflected_intensity_mattausch(
 def power_cosine_variate(key: Array, shininess: Array, shape=()) -> Array:
     """cos(theta) ~ u^(1/(int(s)+1)) (src/ray.cpp:213-224; the C++ truncates
     the float shininess to int)."""
-    u = jax.random.uniform(key, shape)
+    u = jnp.maximum(jax.random.uniform(key, shape), 1e-12)
     exponent = 1.0 / (jnp.floor(shininess) + 1.0)
     return jnp.power(u, exponent)
 
@@ -114,7 +115,7 @@ def random_unit_vector(key: Array, v: Array, cos_theta: Array) -> Array:
     vy = jnp.where(flag, vx0, vy0)
 
     b = jnp.maximum(1.0 - vx * vx, 1e-12)
-    radicand = (1.0 - cos_theta * cos_theta) / (p * b)
+    radicand = jnp.maximum((1.0 - cos_theta * cos_theta) / (p * b), 1e-20)
     c = jnp.sqrt(radicand)
     px = px * c
     py = py * c
@@ -211,7 +212,9 @@ def hit_boundary(
 
     refr_sq = 1.0 - ratio * ratio * (1.0 - incidence * incidence)
     tir = refr_sq < 0.0
-    refr_angle = jnp.sqrt(jnp.maximum(refr_sq, 0.0))
+    # double-where: sqrt's VJP at 0 is inf, which would poison gradients of
+    # masked TIR lanes (inf * 0 = NaN)
+    refr_angle = jnp.where(tir, 0.0, jnp.sqrt(jnp.where(tir, 1.0, jnp.maximum(refr_sq, 0.0))))
 
     refr_dir = normalize(
         snells_law(direction, random_normal, incidence, refr_angle, ratio), eps=1e-20

@@ -1,0 +1,76 @@
+"""End-to-end render tests on the sphere scene (tiny config)."""
+
+import jax
+import numpy as np
+import pytest
+
+from mcray_tpu.models.simulator import Simulator
+
+
+@pytest.fixture(scope="module")
+def sim(request):
+    import os
+    from mcray_tpu.config import small_test_config
+    from mcray_tpu.scene.compile import load_and_compile
+
+    cfg = small_test_config()
+    pack = load_and_compile(
+        os.path.join(os.path.dirname(__file__), "..", "assets", "sphere", "sphere.scene"),
+        cfg,
+        with_bvh=True,
+    )
+    return Simulator(pack, cfg)
+
+
+def test_render_shapes_and_finite(sim):
+    out = sim.render_frame(0)
+    cfg = sim.cfg
+    assert out["bmode"].shape == (cfg.bmode_rows, cfg.bmode_cols)
+    assert out["rf_raw"].shape == (cfg.rf_rows, cfg.rf_cols)
+    for k in ("bmode", "rf_raw", "rf_conv", "rf_env"):
+        assert np.isfinite(np.asarray(out[k])).all(), k
+
+
+def test_render_nonzero_signal(sim):
+    out = sim.render_frame(0)
+    rf = np.asarray(out["rf_raw"])
+    assert rf.max() > 0.0
+    # multiple scanlines receive echoes (the fan hits the box)
+    assert (np.abs(rf).sum(axis=0) > 0).sum() > sim.cfg.transducer_elements // 2
+    assert np.asarray(out["bmode"]).max() > 0.0
+
+
+def test_deterministic_same_seed(sim):
+    a = np.asarray(sim.render_frame(3)["bmode"])
+    b = np.asarray(sim.render_frame(3)["bmode"])
+    np.testing.assert_array_equal(a, b)
+
+
+def test_seed_changes_speckle(sim):
+    a = np.asarray(sim.render_frame(0)["bmode"])
+    b = np.asarray(sim.render_frame(1)["bmode"])
+    assert np.abs(a - b).max() > 0.0
+
+
+def test_bvh_matches_brute_force_trace(sim):
+    from mcray_tpu.models.simulator import Simulator
+
+    sim_bvh = Simulator(sim.pack, sim.cfg, use_bvh=True)
+    a = np.asarray(sim.render_frame(2)["rf_raw"])
+    b = np.asarray(sim_bvh.render_frame(2)["rf_raw"])
+    # identical geometry queries -> identical RNG stream -> identical image
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_probe_pose_differentiable(sim):
+    import jax.numpy as jnp
+
+    def loss(pos):
+        out = sim._render(
+            jax.random.PRNGKey(0), sim.materials, pos,
+            jnp.asarray(sim.pack.transducer_angles), hash(sim.cfg),
+        )
+        return out["bmode"].sum()
+
+    g = jax.grad(loss)(jnp.asarray(sim.pack.transducer_position))
+    assert np.isfinite(np.asarray(g)).all()

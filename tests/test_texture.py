@@ -1,0 +1,67 @@
+"""Scatterer texture volume tests (src/volume.h semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcray_tpu.config import small_test_config
+from mcray_tpu.ops import texture
+
+
+def _vol(cfg, seed=0):
+    return texture.make_texture_volume(jax.random.PRNGKey(seed), cfg)
+
+
+def test_wrap_index_matches_c_unsigned_cast():
+    cfg = small_test_config()
+    res = cfg.resolution_um / 1000.0
+    size = cfg.volume_size
+    xs = np.array([-5.2, -0.01, 0.0, 0.07, 1.0, 100.3, -100.3], np.float32)
+    ours = np.asarray(texture._wrap_index(jnp.asarray(xs), res, size))
+    for x, o in zip(xs, ours):
+        # C++: static_cast<unsigned int>(x/res) % size — float truncates
+        # toward zero then wraps mod 2^32; size divides 2^32.
+        q = int(np.trunc(x / res))
+        expected = (q % (1 << 32)) % size
+        assert o == expected, (x, o, expected)
+
+
+def test_threshold_semantics():
+    cfg = small_test_config()
+    vol = _vol(cfg)
+    pts = jnp.asarray(np.random.default_rng(0).uniform(0, 3, (100, 3)), jnp.float32)
+    sigma = jnp.full((100,), 0.5)
+    mu = jnp.full((100,), 0.2)
+    # density below all probabilities -> value everywhere
+    lo = texture.get_scattering(vol, jnp.full((100,), -10.0), mu, sigma, pts, cfg)
+    assert (np.asarray(lo) != 0).all()
+    # density above all -> zero
+    hi = texture.get_scattering(vol, jnp.full((100,), 10.0), mu, sigma, pts, cfg)
+    assert (np.asarray(hi) == 0).all()
+
+
+def test_tiling_periodicity():
+    cfg = small_test_config()
+    vol = _vol(cfg)
+    res = cfg.resolution_um / 1000.0
+    period = cfg.volume_size * res
+    pts = jnp.asarray([[0.01, 0.02, 0.03]], jnp.float32)
+    shifted = pts + period
+    a = texture.get_scattering(vol, jnp.array([-1.0]), jnp.array([0.0]), jnp.array([1.0]), pts, cfg)
+    b = texture.get_scattering(vol, jnp.array([-1.0]), jnp.array([0.0]), jnp.array([1.0]), shifted, cfg)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_soft_mode_differentiable():
+    cfg = small_test_config(soft_scattering=True, trilinear_texture=True)
+    vol = _vol(cfg)
+    pts = jnp.asarray([[0.5, 0.6, 0.7], [1.0, 1.1, 1.2]], jnp.float32)
+
+    def f(density):
+        return texture.get_scattering(
+            vol, jnp.full((2,), density), jnp.array([0.2, 0.2]),
+            jnp.array([0.5, 0.5]), pts, cfg,
+        ).sum()
+
+    g = jax.grad(f)(0.1)
+    assert np.isfinite(float(g)) and float(g) != 0.0
