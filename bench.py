@@ -1,0 +1,66 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Metric: traced ray-casts per second per chip on the full-size sphere scene
+(512 scanlines x 5 MC paths x 10 bounce queries/frame, the reference's
+rayTest workload upper bound, reference src/scene.cpp:75-117).
+
+Baseline: the reference publishes no numbers (BASELINE.md) and its C++ cannot
+be built in this image (Bullet/OpenCV dev libs absent), so vs_baseline is
+computed against a recorded single-host CPU proxy measurement of this same
+workload (see BASELINE.md "measured baselines").
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+# Measured on this image's 2-core host CPU (steady-state, sphere scene,
+# scaled from 64x2 to rays/s): see BASELINE.md.
+CPU_PROXY_RAYS_PER_S = 28_700.0
+
+
+def main() -> int:
+    import jax
+
+    from mcray_tpu.config import SimConfig
+    from mcray_tpu.models.simulator import Simulator
+    from mcray_tpu.scene.compile import load_and_compile
+
+    cfg = SimConfig()
+    pack = load_and_compile("assets/sphere/sphere.scene", cfg)
+    sim = Simulator(pack, cfg)
+
+    # warmup/compile
+    out = sim.render_frame(seed=0)
+    out["bmode"].block_until_ready()
+
+    frames = 10
+    t0 = time.perf_counter()
+    for i in range(frames):
+        out = sim.render_frame(seed=i + 1)
+    out["bmode"].block_until_ready()
+    dt = (time.perf_counter() - t0) / frames
+
+    rays_per_s = sim.rays_per_frame / dt
+    result = {
+        "metric": "rays_per_s_per_chip_sphere",
+        "value": round(rays_per_s),
+        "unit": "ray-casts/s",
+        "vs_baseline": round(rays_per_s / CPU_PROXY_RAYS_PER_S, 2),
+        "extra": {
+            "frames_per_s": round(1.0 / dt, 3),
+            "frame_ms": round(dt * 1e3, 2),
+            "device": str(jax.devices()[0]),
+            "elements": cfg.transducer_elements,
+            "samples": cfg.samples_per_element,
+            "baseline": "single-host CPU proxy (BASELINE.md)",
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

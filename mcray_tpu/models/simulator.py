@@ -66,17 +66,30 @@ def trace_paths(
     use_bvh: bool = False,
     bvh_arrays: tuple | None = None,
     intersect_chunk: int = 0,
+    elements: tuple[Array, Array, Array, Array] | None = None,
 ) -> dict[str, Array]:
     """Monte-Carlo path tracing for all R*S paths; returns the dense segment
-    tensor stacked over bounce depth: each field (D, N, ...)."""
-    n_rays = cfg.transducer_elements
+    tensor stacked over bounce depth: each field (D, N, ...).
+
+    ``elements`` overrides the element batch for sharded execution:
+    (positions (R_local,3), directions (R_local,3), elem_idx (N_local,) local
+    column index, path_ids (N_local,) GLOBAL path ids). Per-path randomness is
+    keyed by global path id, so a sharded render is bitwise identical to the
+    single-chip one.
+    """
     n_samples = cfg.samples_per_element
-    n = n_rays * n_samples
     freq = cfg.transducer_frequency
     eps = cfg.intensity_epsilon
 
-    positions, directions = element_layout(probe_position, probe_angles_deg, cfg)
-    elem_idx = jnp.repeat(jnp.arange(n_rays, dtype=jnp.int32), n_samples)
+    if elements is None:
+        n_rays = cfg.transducer_elements
+        positions, directions = element_layout(probe_position, probe_angles_deg, cfg)
+        elem_idx = jnp.repeat(jnp.arange(n_rays, dtype=jnp.int32), n_samples)
+        path_ids = jnp.arange(n_rays * n_samples, dtype=jnp.uint32)
+    else:
+        positions, directions, elem_idx, path_ids = elements
+    n = elem_idx.shape[0]
+    path_keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, path_ids)
 
     tris = scene["tris"]
     tri_mesh_id = scene["tri_mesh_id"]
@@ -95,7 +108,7 @@ def trace_paths(
     }
 
     def bounce(state, depth):
-        kd = jax.random.fold_in(key, depth)
+        kd = jax.vmap(jax.random.fold_in, in_axes=(0, None))(path_keys, depth)
         att = materials[state["media_id"], physics.ATTENUATION]
         r_length = physics.max_ray_length(
             jnp.maximum(state["intensity"], eps * 1e-3), att, freq, eps
@@ -118,10 +131,11 @@ def trace_paths(
 
         # sub-surface penetration fuzz: q ~ |N(0, thickness_inside)|
         # (src/scene.cpp:129-139)
-        k_q, k_hb = jax.random.split(kd)
+        ks = physics.split_each(kd, 2)
+        k_q, k_hb = ks[:, 0], ks[:, 1]
         mesh_id_c = jnp.maximum(hits["mesh_id"], 0)
         thick = materials[mesh_in[mesh_id_c], physics.THICKNESS]
-        q = jnp.abs(jax.random.normal(k_q, (n,)) * thick)
+        q = jnp.abs(physics.batched_normal(k_q) * thick)
         inside_point = hits["point"] + q[:, None] * state["dir"]
 
         dist_mm = distance_in_mm(state["from"], inside_point, spacing)
@@ -184,6 +198,7 @@ def march_and_accumulate(
     materials: Array,
     volume: dict[str, Array],
     cfg: SimConfig,
+    n_cols: int | None = None,
 ) -> Array:
     """Segment marching + echo scatter-add (reference main loop,
     src/main.cpp:106-141) as one masked dense grid."""
@@ -240,7 +255,7 @@ def march_and_accumulate(
     all_cols = jnp.concatenate([cols.reshape(-1), flat["element"]])
     all_vals = jnp.concatenate([values.reshape(-1), b_vals])
     all_valid = jnp.concatenate([live.reshape(-1), b_valid])
-    return imaging.accumulate_echoes(all_rows, all_cols, all_vals, all_valid, cfg)
+    return imaging.accumulate_echoes(all_rows, all_cols, all_vals, all_valid, cfg, n_cols)
 
 
 def render(

@@ -43,10 +43,13 @@ def accumulate_echoes(
     values: Array, # (N,) f32 echo intensities
     valid: Array,  # (N,) bool
     cfg: SimConfig,
+    n_cols: int | None = None,
 ) -> Array:
-    """Masked scatter-add into a fresh (rf_rows, rf_cols) image."""
+    """Masked scatter-add into a fresh (rf_rows, n_cols) image; n_cols
+    defaults to the full element count and is the local shard width under
+    scanline sharding."""
     ok = valid & (rows >= 0) & (rows < cfg.rf_rows)
-    rf = jnp.zeros((cfg.rf_rows, cfg.rf_cols), jnp.float32)
+    rf = jnp.zeros((cfg.rf_rows, n_cols or cfg.rf_cols), jnp.float32)
     safe_rows = jnp.where(ok, rows, 0)
     safe_cols = jnp.where(ok, cols, 0)
     vals = jnp.where(ok, values, 0.0)
@@ -73,6 +76,12 @@ def _convolve_reference(rf: Array, ax: Array, lat: Array) -> Array:
     rows, cols = rf.shape
     a = ax.shape[0]
     l = lat.shape[0]
+
+    # Degenerate windows: the reference's loops simply don't execute when the
+    # image is smaller than the kernel spans (src/rfimage.h:99,113), leaving
+    # the raw image untouched.
+    if rows <= 2 * a or cols <= l + l // 2:
+        return rf
 
     # conv_ax_valid[r, c] = sum_k rf[r+k, c] * ax[k], r in [0, rows-a]
     rv = rows - a + 1

@@ -88,12 +88,42 @@ def reflected_intensity_mattausch(
     return refr_term + refl_term
 
 
+def split_each(keys: Array, num: int) -> Array:
+    """Split a batch of keys: (N,) keys -> (N, num) keys. Per-path keys make
+    every random draw a pure function of (seed, path id, bounce, purpose), so
+    renders are bitwise invariant to how paths are sharded across chips."""
+    return jax.vmap(lambda k: jax.random.split(k, num))(keys)
+
+
+def batched_uniform(keys: Array) -> Array:
+    return jax.vmap(jax.random.uniform)(keys)
+
+
+def batched_normal(keys: Array) -> Array:
+    return jax.vmap(jax.random.normal)(keys)
+
+
 def power_cosine_variate(key: Array, shininess: Array, shape=()) -> Array:
     """cos(theta) ~ u^(1/(int(s)+1)) (src/ray.cpp:213-224; the C++ truncates
     the float shininess to int)."""
     u = jnp.maximum(jax.random.uniform(key, shape), 1e-12)
     exponent = 1.0 / (jnp.floor(shininess) + 1.0)
     return jnp.power(u, exponent)
+
+
+def power_cosine_variate_batched(keys: Array, shininess: Array) -> Array:
+    """Per-path-keyed variant of power_cosine_variate; keys/shininess (N,)."""
+    u = jnp.maximum(batched_uniform(keys), 1e-12)
+    exponent = 1.0 / (jnp.floor(shininess) + 1.0)
+    return jnp.power(u, exponent)
+
+
+def random_unit_vector_batched(keys: Array, v: Array, cos_theta: Array) -> Array:
+    """Per-path-keyed variant of random_unit_vector; keys (N,), v (N,3)."""
+    ks = split_each(keys, 2)
+    a = batched_uniform(ks[:, 0]) * (2.0 * jnp.pi)
+    r = 0.5 * jnp.sqrt(batched_uniform(ks[:, 1]))
+    return _unit_vector_from_disc(a, r, v, cos_theta)
 
 
 def random_unit_vector(key: Array, v: Array, cos_theta: Array) -> Array:
@@ -105,6 +135,10 @@ def random_unit_vector(key: Array, v: Array, cos_theta: Array) -> Array:
     shape = v.shape[:-1]
     a = jax.random.uniform(k1, shape) * (2.0 * jnp.pi)
     r = 0.5 * jnp.sqrt(jax.random.uniform(k2, shape))
+    return _unit_vector_from_disc(a, r, v, cos_theta)
+
+
+def _unit_vector_from_disc(a: Array, r: Array, v: Array, cos_theta: Array) -> Array:
     px = r * jnp.cos(a)
     py = r * jnp.sin(a)
     p = jnp.maximum(px * px + py * py, 1e-12)
@@ -169,7 +203,7 @@ def material_transition(
 
 
 def hit_boundary(
-    key: Array,
+    keys: Array,  # (N,) per-path PRNG keys
     direction: Array,       # (N, 3) unit
     hit_point: Array,       # (N, 3)
     surface_normal: Array,  # (N, 3) oriented toward ray origin side
@@ -198,10 +232,10 @@ def hit_boundary(
         media_id, media_outside_id, vascular, m_in, m_out, cfg
     )
 
-    k_shin, k_normal, k_roulette = jax.random.split(key, 3)
+    ks = split_each(keys, 3)
     shininess = materials[mat_after, SHININESS]
-    random_angle = power_cosine_variate(k_shin, shininess, direction.shape[:-1])
-    random_normal = random_unit_vector(k_normal, surface_normal, random_angle)
+    random_angle = power_cosine_variate_batched(ks[:, 0], shininess)
+    random_normal = random_unit_vector_batched(ks[:, 1], surface_normal, random_angle)
 
     # incidence = |d . n| via the reference's flip-if-negative (src/ray.cpp:53-57)
     incidence = jnp.abs(jnp.sum(direction * random_normal, axis=-1))
@@ -235,7 +269,7 @@ def hit_boundary(
     # Russian roulette: continue with ONE of reflection/refraction
     # (src/ray.cpp:85-94). The branch choice is a detached comparison; the
     # chosen branch's intensity stays differentiable.
-    x = jax.random.uniform(k_roulette, intensity.shape)
+    x = batched_uniform(ks[:, 2])
     safe_int = jnp.maximum(intensity, cfg.intensity_epsilon)
     reflect = (i_refl / safe_int) > x
 

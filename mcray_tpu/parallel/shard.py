@@ -1,0 +1,184 @@
+"""Multi-chip execution: scanline-sharded rendering and training.
+
+The TPU-native parallelism layer the reference lacks entirely (its only
+concurrency hooks are two commented-out OpenMP pragmas, reference
+src/scene.cpp:74,105; design per SURVEY.md §2.3):
+
+- **Ray/scanline data parallelism**: the R transducer elements are sharded
+  over the ``"rays"`` mesh axis with ``jax.shard_map``. Each chip traces its
+  R/ndev scanlines (x S Monte-Carlo samples) against the replicated scene.
+- **Chip-local RF accumulation**: a scanline's echoes land only in its own
+  RF column (reference add_echo indexes column = ray_i, src/rfimage.h:33-40),
+  so with a column-sharded RF image the entire scatter-add is chip-local —
+  zero communication in the hot loop.
+- **Image assembly**: one tiled ``all_gather`` of the (465 x R/ndev) partial
+  RF images (~1 MB over ICI) before the dense image post-ops.
+- **Gradient communication**: the backward pass of ``psum``-free local work
+  produces per-chip partials of the tiny (M, 8) material-parameter gradient;
+  ``shard_map``'s AD inserts the ``psum`` over ICI automatically when the
+  loss reduces over gathered results.
+
+Per-path RNG keys are derived from GLOBAL path ids (simulator.trace_paths),
+so the sharded render is bitwise identical to the single-chip render.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import SimConfig
+from ..models import simulator
+from ..ops import imaging
+from ..probe.transducer import element_layout
+
+Array = jax.Array
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "rays") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(devs, (axis,))
+
+
+def _shard_render_body(
+    key,
+    materials,
+    positions,      # (R_local, 3) this chip's element positions
+    directions,     # (R_local, 3)
+    elem_global0,   # (1,) global index of this chip's first element
+    scene: dict[str, Any],
+    spacing,
+    starting_material,
+    volume,
+    scan_maps,
+    cfg: SimConfig,
+    trace_kw: dict,
+    axis: str,
+):
+    r_local = positions.shape[0]
+    s = cfg.samples_per_element
+    local_elem = jnp.repeat(jnp.arange(r_local, dtype=jnp.int32), s)
+    global_path0 = elem_global0[0].astype(jnp.uint32) * s
+    path_ids = global_path0 + jnp.arange(r_local * s, dtype=jnp.uint32)
+
+    segments = simulator.trace_paths(
+        key,
+        materials,
+        jnp.zeros(3),
+        jnp.zeros(3),
+        scene,
+        spacing,
+        starting_material,
+        cfg,
+        elements=(positions, directions, local_elem, path_ids),
+        **trace_kw,
+    )
+    rf_local = simulator.march_and_accumulate(
+        segments, materials, volume, cfg, n_cols=r_local
+    )
+    # Assemble the full RF image on every chip (~1 MB over ICI), then run the
+    # cheap dense post-ops replicated. Scan conversion gathers across columns,
+    # so some cross-chip exchange is fundamental here.
+    rf_full = jax.lax.all_gather(rf_local, axis, axis=1, tiled=True)
+    rf_conv = imaging.convolve_psf(rf_full, cfg)
+    rf_env = imaging.envelope(rf_conv)
+    bmode = imaging.scan_convert(rf_env, scan_maps[0], scan_maps[1])
+    return bmode, rf_local
+
+
+class ShardedRenderer:
+    """Scanline-sharded frame renderer over a 1-D device mesh."""
+
+    def __init__(self, pack, cfg: SimConfig, mesh: Mesh | None = None, seed: int = 0):
+        from ..ops import texture
+
+        self.cfg = cfg
+        self.pack = pack
+        self.mesh = mesh or make_mesh()
+        self.axis = self.mesh.axis_names[0]
+        n_dev = self.mesh.devices.size
+        if cfg.transducer_elements % n_dev:
+            raise ValueError(
+                f"transducer_elements ({cfg.transducer_elements}) must divide "
+                f"evenly over {n_dev} devices"
+            )
+        self.scene = {k: jnp.asarray(v) for k, v in pack.trace_tables().items()}
+        self.spacing = jnp.asarray(pack.spacing)
+        self.starting_material = jnp.int32(pack.starting_material)
+        self.materials = jnp.asarray(pack.materials)
+        self.volume = texture.make_texture_volume(
+            jax.random.PRNGKey(seed ^ 0x5CA77E7), cfg
+        )
+        maps = imaging.scan_conversion_maps(cfg)
+        self.scan_maps = (jnp.asarray(maps[0]), jnp.asarray(maps[1]))
+
+        axis = self.axis
+        body = functools.partial(
+            _shard_render_body,
+            scene=self.scene,
+            spacing=self.spacing,
+            starting_material=self.starting_material,
+            volume=self.volume,
+            scan_maps=self.scan_maps,
+            cfg=cfg,
+            trace_kw={},
+            axis=axis,
+        )
+        sharded = jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(axis), P(axis), P(axis)),
+            out_specs=(P(), P(None, axis)),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def _render(key, materials, position, angles):
+            positions, directions = element_layout(position, angles, cfg)
+            elem0 = jnp.arange(cfg.transducer_elements, dtype=jnp.int32)
+            return sharded(key, materials, positions, directions, elem0)
+
+        self._render = _render
+
+    def make_train_step(self, optimizer, mask=None):
+        """One jitted sharded training step: render under shard_map,
+        pixel-MSE loss vs target, backward pass (shard_map AD inserts the
+        psum of per-chip material-gradient partials over ICI), masked
+        optimiser update. Returns step(key, materials, opt_state, target,
+        position, angles) -> (materials, opt_state, loss)."""
+        import optax
+
+        @jax.jit
+        def step(key, materials, opt_state, target, position, angles):
+            def loss_fn(m):
+                bmode = self._render(key, m, position, angles)[0]
+                return jnp.mean((bmode - target) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(materials)
+            if mask is not None:
+                grads = grads * mask
+            updates, new_opt = optimizer.update(grads, opt_state, materials)
+            new_materials = optax.apply_updates(materials, updates)
+            return new_materials, new_opt, loss
+
+        return step
+
+    def render_bmode(self, key, materials, position, angles):
+        """Jitted sharded render returning just the B-mode (for loss fns)."""
+        return self._render(key, materials, position, angles)[0]
+
+    def render_frame(self, seed: int = 0, materials=None, position=None, angles=None):
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), 0)
+        bmode, rf_local = self._render(
+            key,
+            self.materials if materials is None else materials,
+            jnp.asarray(self.pack.transducer_position if position is None else position),
+            jnp.asarray(self.pack.transducer_angles if angles is None else angles),
+        )
+        return {"bmode": bmode, "rf_raw": rf_local}

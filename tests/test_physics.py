@@ -136,10 +136,12 @@ def test_material_transition_cases(bug_compat):
 
 
 def _hit_boundary(materials, mesh_tables, cfg, direction, normal, intensity, media_id, seed=0):
-    key = jax.random.PRNGKey(seed)
     n = direction.shape[0]
+    keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+        jax.random.PRNGKey(seed), jnp.arange(n, dtype=jnp.uint32)
+    )
     return physics.hit_boundary(
-        key,
+        keys,
         direction,
         jnp.zeros((n, 3)),
         normal,

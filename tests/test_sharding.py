@@ -1,0 +1,64 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (conftest sets
+xla_force_host_platform_device_count=8)."""
+
+import jax
+import numpy as np
+import pytest
+
+from mcray_tpu.models.simulator import Simulator
+from mcray_tpu.parallel.shard import ShardedRenderer, make_mesh
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import os
+    from mcray_tpu.config import small_test_config
+    from mcray_tpu.scene.compile import load_and_compile
+
+    cfg = small_test_config()  # 64 elements -> 8 per device
+    pack = load_and_compile(
+        os.path.join(os.path.dirname(__file__), "..", "assets", "sphere", "sphere.scene"),
+        cfg,
+    )
+    return pack, cfg
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_matches_single_chip(setup):
+    pack, cfg = setup
+    sim = Simulator(pack, cfg)
+    sharded = ShardedRenderer(pack, cfg, mesh=make_mesh(8))
+    a = np.asarray(sim.render_frame(0)["bmode"])
+    b = np.asarray(sharded.render_frame(0)["bmode"])
+    # per-path global RNG keys -> sharding must not change the image
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_rf_columns_partition(setup):
+    pack, cfg = setup
+    sim = Simulator(pack, cfg)
+    sharded = ShardedRenderer(pack, cfg, mesh=make_mesh(8))
+    rf_full = np.asarray(sim.render_frame(0)["rf_raw"])
+    rf_sharded = np.asarray(sharded.render_frame(0)["rf_raw"])
+    np.testing.assert_allclose(rf_sharded, rf_full, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_on_two_devices(setup):
+    pack, cfg = setup
+    sharded8 = ShardedRenderer(pack, cfg, mesh=make_mesh(8))
+    sharded2 = ShardedRenderer(pack, cfg, mesh=make_mesh(2))
+    a = np.asarray(sharded8.render_frame(1)["bmode"])
+    b = np.asarray(sharded2.render_frame(1)["bmode"])
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_uneven_shard_rejected(setup):
+    pack, cfg = setup
+    import dataclasses
+
+    bad = dataclasses.replace(cfg, transducer_elements=60)
+    with pytest.raises(ValueError):
+        ShardedRenderer(pack, bad, mesh=make_mesh(8))
