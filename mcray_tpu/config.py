@@ -56,6 +56,11 @@ class SimConfig:
     bmode_rows: int = 400                   # scan-converted output (src/rfimage.h:26)
     bmode_cols: int = 500
 
+    # Scatterer field backend: "procedural" (hash-based on-the-fly N(0,1),
+    # zero HBM traffic, the TPU-native default) or "table" (materialised
+    # voxel grid mirroring the reference's volume<256,145>).
+    texture_mode: str = "procedural"
+
     # --- PSF parameters (src/main.cpp:54) ---
     psf_var_x: float = 0.05
     psf_var_y: float = 0.2
