@@ -1,0 +1,49 @@
+"""Pallas march kernel vs the jnp scatter path (interpret mode on CPU)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcray_tpu.config import small_test_config
+from mcray_tpu.models.simulator import march_and_accumulate, trace_paths
+from mcray_tpu.ops import texture
+from mcray_tpu.ops.pallas.march import march_and_accumulate_pallas
+from mcray_tpu.scene.compile import load_and_compile
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = small_test_config(transducer_elements=32, samples_per_element=2)
+    pack = load_and_compile(
+        os.path.join(os.path.dirname(__file__), "..", "assets", "sphere", "sphere.scene"),
+        cfg,
+    )
+    scene = {k: jnp.asarray(v) for k, v in pack.trace_tables().items()}
+    mats = jnp.asarray(pack.materials)
+    segs = trace_paths(
+        jax.random.PRNGKey(0), mats,
+        jnp.asarray(pack.transducer_position), jnp.asarray(pack.transducer_angles),
+        scene, jnp.asarray(pack.spacing), jnp.int32(pack.starting_material), cfg,
+    )
+    vol = texture.make_texture_volume(jax.random.PRNGKey(1), cfg)
+    return cfg, mats, segs, vol
+
+
+def test_pallas_march_matches_jnp(setup):
+    cfg, mats, segs, vol = setup
+    ref = np.asarray(march_and_accumulate(segs, mats, vol, cfg))
+    out = np.asarray(
+        march_and_accumulate_pallas(segs, mats, vol, cfg, interpret=True)
+    )
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_march_rejects_table_mode(setup):
+    cfg, mats, segs, _ = setup
+    table_vol = {"noise": jnp.zeros((4, 4, 4)), "prob": jnp.zeros((4, 4, 4))}
+    with pytest.raises(ValueError):
+        march_and_accumulate_pallas(segs, mats, table_vol, cfg, interpret=True)
