@@ -62,12 +62,11 @@ class _Native:
         return verts, faces
 
     def build_bvh(self, tris: np.ndarray, leaf_size: int = 4):
-        """tris: (T,3,3) f32 -> (nodes (N,8) f32 view, tri_order (T,) i32).
+        """tris: (T,3,3) f32 -> (nodes (N,6), meta (N,2), tri_order (T,)).
 
-        Node layout (flat, depth-first): [min.xyz, max.xyz, a, b] where for an
-        inner node a = right-child index (left child is node+1), b = -1; for a
-        leaf a = first tri offset into tri_order, b = tri count.
-        """
+        Flat depth-first layout: nodes = [min.xyz, max.xyz]; meta for an
+        inner node = (right-child index, -1) with left child at node+1; for a
+        leaf = (first offset into tri_order, count)."""
         tris = np.ascontiguousarray(tris, np.float32)
         t = tris.shape[0]
         n_nodes = ctypes.c_int(0)
@@ -79,7 +78,7 @@ class _Native:
         )
         if not h:
             return None
-        nodes = np.empty((n_nodes.value, 8), np.float32)
+        nodes = np.empty((n_nodes.value, 6), np.float32)
         meta = np.empty((n_nodes.value, 2), np.int32)
         order = np.empty((t,), np.int32)
         self._lib.mcray_copy_bvh(
@@ -89,7 +88,7 @@ class _Native:
             order.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         )
         self._lib.mcray_free(h)
-        return nodes[:, :6], meta, order
+        return nodes, meta, order
 
 
 def get_native():
