@@ -66,6 +66,7 @@ def trace_paths(
     use_bvh: bool = False,
     bvh_arrays: tuple | None = None,
     intersect_chunk: int = 0,
+    use_pallas_intersect: bool = False,
     elements: tuple[Array, Array, Array, Array] | None = None,
 ) -> dict[str, Array]:
     """Monte-Carlo path tracing for all R*S paths; returns the dense segment
@@ -123,6 +124,10 @@ def trace_paths(
             hits = bvh_intersect_closest(
                 origin, seg_vec, tris, tri_mesh_id, nodes, meta, order
             )
+        elif use_pallas_intersect:
+            from ..ops.pallas.intersect import intersect_closest_pallas
+
+            hits = intersect_closest_pallas(origin, seg_vec, tris, tri_mesh_id)
         else:
             hits = intersect_closest(
                 origin, seg_vec, tris, tri_mesh_id, chunk=intersect_chunk
@@ -322,12 +327,13 @@ class Simulator:
         self.pack = pack
         self.use_bvh = use_bvh and pack.bvh is not None
         if use_pallas_march is None:
-            # default: the Pallas kernel on real TPUs, the jnp scatter path
+            # default: the Pallas kernels on real TPUs, the jnp paths
             # elsewhere (CPU tests, differentiation)
             use_pallas_march = (
                 jax.default_backend() == "tpu" and cfg.texture_mode == "procedural"
             )
         self.use_pallas_march = use_pallas_march
+        self.use_pallas_intersect = jax.default_backend() == "tpu" and not self.use_bvh
         self.scene = {k: jnp.asarray(v) for k, v in pack.trace_tables().items()}
         self.spacing = jnp.asarray(pack.spacing)
         self.starting_material = jnp.int32(pack.starting_material)
@@ -362,6 +368,7 @@ class Simulator:
                 use_pallas_march=self.use_pallas_march,
                 use_bvh=self.use_bvh,
                 bvh_arrays=self.bvh_arrays,
+                use_pallas_intersect=self.use_pallas_intersect,
             )
 
         self._render = _render

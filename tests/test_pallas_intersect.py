@@ -1,0 +1,41 @@
+"""Pallas tiled intersect kernel vs jnp brute force (interpret mode)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from mcray_tpu.ops.geometry import intersect_closest
+from mcray_tpu.ops.pallas.intersect import intersect_closest_pallas
+
+
+def _random_scene(rng, t):
+    centers = rng.uniform(-5, 5, (t, 1, 3))
+    tris = (centers + rng.standard_normal((t, 3, 3)) * 0.8).astype(np.float32)
+    mid = rng.integers(0, 6, (t,)).astype(np.int32)
+    return jnp.asarray(tris), jnp.asarray(mid)
+
+
+def test_pallas_intersect_matches_jnp(rng):
+    tris, mid = _random_scene(rng, 700)  # forces triangle padding (700 % 256 != 0)
+    n = 150  # forces ray padding
+    o = jnp.asarray(rng.uniform(-6, 6, (n, 3)), jnp.float32)
+    seg = jnp.asarray(rng.standard_normal((n, 3)) * 8, jnp.float32)
+    a = intersect_closest(o, seg, tris, mid)
+    b = intersect_closest_pallas(o, seg, tris, mid, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a["hit"]), np.asarray(b["hit"]))
+    np.testing.assert_allclose(np.asarray(a["t"]), np.asarray(b["t"]), rtol=1e-5, atol=1e-7)
+    hit = np.asarray(a["hit"])
+    np.testing.assert_array_equal(
+        np.asarray(a["mesh_id"])[hit], np.asarray(b["mesh_id"])[hit]
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["normal"])[hit], np.asarray(b["normal"])[hit], atol=1e-5
+    )
+
+
+def test_pallas_intersect_no_hits(rng):
+    tris, mid = _random_scene(rng, 300)
+    o = jnp.full((10, 3), 100.0)
+    seg = jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (10, 1))
+    b = intersect_closest_pallas(o, seg, tris, mid, interpret=True)
+    assert not np.asarray(b["hit"]).any()
+    assert (np.asarray(b["mesh_id"]) == -1).all()
