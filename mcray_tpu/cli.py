@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -33,6 +34,17 @@ from .utils.image_io import save_png
 
 
 def main(argv=None) -> int:
+    import sys
+
+    args = list(sys.argv[1:] if argv is None else argv)
+    if args and args[0] == "fit":
+        return fit_main(args[1:])
+    if args and args[0] == "sweep":
+        return sweep_main(args[1:])
+    return render_main(args)
+
+
+def render_main(argv) -> int:
     p = argparse.ArgumentParser(description="TPU-native MC ultrasound renderer")
     p.add_argument("scene", help=".scene JSON path (reference schema)")
     p.add_argument("--out", default="bmode.png")
@@ -97,6 +109,144 @@ def main(argv=None) -> int:
             "fps": round(1.0 / steady, 2),
             "rays_per_s": round(sim.rays_per_frame / steady),
         }))
+    return 0
+
+
+def sweep_main(argv) -> int:
+    """Scripted probe-pose sweep — the product loop the reference stubbed out
+    via its dead SFML input manager (reference src/inputmanager.cpp,
+    SURVEY.md §3.4): move probe -> re-render, saved as a frame sequence."""
+    import jax.numpy as jnp
+
+    p = argparse.ArgumentParser(prog="mcray_tpu.cli sweep")
+    p.add_argument("scene")
+    p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--delta-pos", type=float, nargs=3, default=[0.0, 0.0, 0.2],
+                   help="per-frame probe translation (world units)")
+    p.add_argument("--delta-angles", type=float, nargs=3, default=[0.0, 0.0, 0.0],
+                   help="per-frame probe rotation (degrees, reference order x,y,z)")
+    p.add_argument("--out-prefix", default="sweep")
+    p.add_argument("--elements", type=int, default=None)
+    p.add_argument("--samples", type=int, default=None)
+    p.add_argument("--platform", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+    if args.platform:
+        _force_platform(args.platform)
+
+    overrides = {}
+    if args.elements:
+        overrides["transducer_elements"] = args.elements
+    if args.samples:
+        overrides["samples_per_element"] = args.samples
+    cfg = SimConfig(**overrides)
+
+    pack = load_and_compile(args.scene, cfg)
+    sim = Simulator(pack, cfg)
+    pos0 = np.asarray(pack.transducer_position, np.float32)
+    ang0 = np.asarray(pack.transducer_angles, np.float32)
+    dp = np.asarray(args.delta_pos, np.float32)
+    da = np.asarray(args.delta_angles, np.float32)
+
+    for i in range(args.frames):
+        t0 = time.perf_counter()
+        out = sim.render_frame(
+            seed=args.seed + i,
+            position=jnp.asarray(pos0 + i * dp),
+            angles=jnp.asarray(ang0 + i * da),
+        )
+        out["bmode"].block_until_ready()
+        path = f"{args.out_prefix}_{i:03d}.png"
+        save_png(path, np.asarray(out["bmode"]))
+        print(f"frame {i}: pose {np.round(pos0 + i*dp, 3).tolist()} "
+              f"{(time.perf_counter()-t0)*1e3:.1f} ms -> {path}")
+    return 0
+
+
+def fit_main(argv) -> int:
+    """Differentiable fit demo: perturb a material parameter, recover it from
+    the rendered target by pixel-gradient descent (with checkpoint/resume)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .models.trainer import MaterialFitter
+    from .ops import physics
+    from .utils.checkpoint import load_fit_state, save_fit_state
+
+    cols = {
+        "impedance": physics.IMPEDANCE, "attenuation": physics.ATTENUATION,
+        "mu0": physics.MU0, "mu1": physics.MU1, "sigma": physics.SIGMA,
+    }
+
+    p = argparse.ArgumentParser(prog="mcray_tpu.cli fit")
+    p.add_argument("scene")
+    p.add_argument("--material", required=True, help="material name to perturb+fit")
+    p.add_argument("--param", default="attenuation", choices=sorted(cols))
+    p.add_argument("--factor", type=float, default=2.0, help="perturbation factor")
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--lr", type=float, default=5e-2)
+    p.add_argument("--elements", type=int, default=64)
+    p.add_argument("--samples", type=int, default=2)
+    p.add_argument("--platform", default=None)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--resume", action="store_true")
+    args = p.parse_args(argv)
+    if args.platform:
+        _force_platform(args.platform)
+
+    cfg = SimConfig(
+        transducer_elements=args.elements,
+        samples_per_element=args.samples,
+        soft_scattering=True,
+        trilinear_texture=True,
+    )
+    from .scene.loader import load_scene
+
+    spec = load_scene(args.scene)
+    row = spec.material_id(args.material)
+    col = cols[args.param]
+
+    pack = load_and_compile(args.scene, cfg)
+    sim = Simulator(pack, cfg, use_pallas_march=False)
+
+    def render(key, materials):
+        out = sim._render(
+            key, materials,
+            jnp.asarray(pack.transducer_position), jnp.asarray(pack.transducer_angles),
+            hash(cfg),
+        )
+        return out["bmode"]
+
+    key = jax.random.PRNGKey(args.seed if hasattr(args, "seed") else 0)
+    true_val = float(pack.materials[row, col])
+    target = render(key, jnp.asarray(pack.materials))
+
+    perturbed = np.array(pack.materials, np.float32)
+    perturbed[row, col] *= args.factor
+    print(f"{args.material}.{args.param}: true {true_val:.4g}, "
+          f"start {perturbed[row, col]:.4g}")
+
+    fitter = MaterialFitter(
+        render, jnp.asarray(perturbed), target,
+        learning_rate=args.lr, trainable=(col,), trainable_rows=[row],
+        fixed_key=key,
+    )
+    if args.resume and args.checkpoint and os.path.exists(args.checkpoint):
+        fitter.state = load_fit_state(args.checkpoint, fitter.state)
+        print(f"resumed at step {fitter.state.step}")
+    losses = fitter.run(args.steps, log_every=max(1, args.steps // 10))
+    fitted = float(fitter.state.materials[row, col])
+    print(json.dumps({
+        "param": f"{args.material}.{args.param}",
+        "true": round(true_val, 5),
+        "initial": round(float(perturbed[row, col]), 5),
+        "fitted": round(fitted, 5),
+        "loss_first": round(losses[0], 8),
+        "loss_last": round(losses[-1], 8),
+    }))
+    if args.checkpoint:
+        save_fit_state(args.checkpoint, fitter.state)
+        print(f"checkpoint -> {args.checkpoint}")
     return 0
 
 

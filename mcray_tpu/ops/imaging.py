@@ -99,6 +99,51 @@ def _convolve_reference(rf: Array, ax: Array, lat: Array) -> Array:
     return out
 
 
+def convolve_psf_sharded(rf_local: Array, cfg: SimConfig, axis: str, n_shards: int) -> Array:
+    """Column-sharded reference convolution inside ``shard_map``.
+
+    The axial pass is column-local. The lateral pass reads up to l-1 columns
+    to the RIGHT of each output column (the reference's forward-shifted
+    kernel, src/rfimage.h:116-118), so each shard fetches an (R, l-1) halo
+    from its right neighbour with one ``ppermute`` over ICI — instead of
+    gathering the whole RF image. Cells outside the reference's write window
+    (global cols [l//2, C-l), rows [a, R-a)) keep their raw echo values.
+    """
+    ax = psf_mod.axial_kernel(cfg)
+    lat = psf_mod.lateral_kernel(cfg)
+    rows, c_local = rf_local.shape
+    a = ax.shape[0]
+    l = lat.shape[0]
+    c_global = c_local * n_shards
+    if rows <= 2 * a or c_global <= l + l // 2:
+        return rf_local
+
+    rv = rows - a + 1
+    conv_ax = sum(rf_local[k : k + rv, :] * ax[k] for k in range(a))
+    buf = jnp.zeros_like(rf_local).at[a : rows - a, :].set(conv_ax[a : rows - a, :])
+
+    # right-neighbour halo of l-1 columns; when shards are narrower than the
+    # kernel the halo spans several neighbours — rotate shard blocks left
+    # until enough columns are collected
+    n_steps = -(-(l - 1) // c_local)
+    parts = [buf]
+    rot = buf
+    perm = [(j, (j - 1) % n_shards) for j in range(n_shards)]
+    for _ in range(n_steps):
+        rot = jax.lax.ppermute(rot, axis, perm=perm)
+        parts.append(rot)
+    buf_ext = jnp.concatenate(parts, axis=1)[:, : c_local + l - 1]
+
+    conv_lat = sum(buf_ext[:, k : k + c_local] * lat[k] for k in range(l))
+
+    my_shard = jax.lax.axis_index(axis)
+    col_global = my_shard * c_local + jnp.arange(c_local)
+    col_ok = (col_global >= l // 2) & (col_global < c_global - l)
+    row_ok = (jnp.arange(rows) >= a) & (jnp.arange(rows) < rows - a)
+    write = row_ok[:, None] & col_ok[None, :]
+    return jnp.where(write, conv_lat, rf_local)
+
+
 def _convolve_centered(rf: Array, ax: Array, lat: Array) -> Array:
     """Centered separable 'same' correlation with zero padding — the
     fixed-up variant of the reference's shifted kernels."""

@@ -60,6 +60,8 @@ def _shard_render_body(
     cfg: SimConfig,
     trace_kw: dict,
     axis: str,
+    n_shards: int,
+    distributed_imaging: bool,
 ):
     r_local = positions.shape[0]
     s = cfg.samples_per_element
@@ -82,12 +84,19 @@ def _shard_render_body(
     rf_local = simulator.march_and_accumulate(
         segments, materials, volume, cfg, n_cols=r_local
     )
-    # Assemble the full RF image on every chip (~1 MB over ICI), then run the
-    # cheap dense post-ops replicated. Scan conversion gathers across columns,
-    # so some cross-chip exchange is fundamental here.
-    rf_full = jax.lax.all_gather(rf_local, axis, axis=1, tiled=True)
-    rf_conv = imaging.convolve_psf(rf_full, cfg)
-    rf_env = imaging.envelope(rf_conv)
+    if distributed_imaging:
+        # column-sharded convolution with an (R, l-1) ppermute halo, local
+        # envelope, then one all_gather of the finished RF for the polar
+        # gather of scan conversion (which is fundamentally cross-column)
+        rf_conv_local = imaging.convolve_psf_sharded(rf_local, cfg, axis, n_shards)
+        rf_env_local = imaging.envelope(rf_conv_local)
+        rf_env = jax.lax.all_gather(rf_env_local, axis, axis=1, tiled=True)
+    else:
+        # assemble the full RF image on every chip (~1 MB over ICI) and run
+        # the dense post-ops replicated
+        rf_full = jax.lax.all_gather(rf_local, axis, axis=1, tiled=True)
+        rf_conv = imaging.convolve_psf(rf_full, cfg)
+        rf_env = imaging.envelope(rf_conv)
     bmode = imaging.scan_convert(rf_env, scan_maps[0], scan_maps[1])
     return bmode, rf_local
 
@@ -95,7 +104,14 @@ def _shard_render_body(
 class ShardedRenderer:
     """Scanline-sharded frame renderer over a 1-D device mesh."""
 
-    def __init__(self, pack, cfg: SimConfig, mesh: Mesh | None = None, seed: int = 0):
+    def __init__(
+        self,
+        pack,
+        cfg: SimConfig,
+        mesh: Mesh | None = None,
+        seed: int = 0,
+        distributed_imaging: bool = True,
+    ):
         from ..ops import texture
 
         self.cfg = cfg
@@ -129,6 +145,8 @@ class ShardedRenderer:
             cfg=cfg,
             trace_kw={},
             axis=axis,
+            n_shards=n_dev,
+            distributed_imaging=distributed_imaging,
         )
         sharded = jax.shard_map(
             body,

@@ -55,6 +55,35 @@ def test_sharded_on_two_devices(setup):
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
+def test_halo_imaging_matches_replicated(setup):
+    pack, cfg = setup
+    halo = ShardedRenderer(pack, cfg, mesh=make_mesh(8), distributed_imaging=True)
+    gathered = ShardedRenderer(pack, cfg, mesh=make_mesh(8), distributed_imaging=False)
+    a = np.asarray(halo.render_frame(2)["bmode"])
+    b = np.asarray(gathered.render_frame(2)["bmode"])
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_train_step_runs(setup):
+    import jax.numpy as jnp
+    import optax
+
+    pack, cfg = setup
+    r = ShardedRenderer(pack, cfg, mesh=make_mesh(4))
+    opt = optax.adam(1e-2)
+    step = r.make_train_step(opt)
+    pos = jnp.asarray(pack.transducer_position)
+    ang = jnp.asarray(pack.transducer_angles)
+    key = jax.random.PRNGKey(0)
+    target = r.render_bmode(key, r.materials, pos, ang)
+    mats, opt_state, loss = step(
+        jax.random.PRNGKey(1), r.materials, opt.init(r.materials), target, pos, ang
+    )
+    assert np.isfinite(float(loss))
+    assert np.isfinite(np.asarray(mats)).all()
+    assert (np.asarray(mats) != np.asarray(r.materials)).any()
+
+
 def test_uneven_shard_rejected(setup):
     pack, cfg = setup
     import dataclasses
