@@ -36,12 +36,23 @@ def main() -> int:
     out = sim.render_frame(seed=0)
     out["bmode"].block_until_ready()
 
-    frames = 10
+    frames = 5
     t0 = time.perf_counter()
     for i in range(frames):
         out = sim.render_frame(seed=i + 1)
     out["bmode"].block_until_ready()
-    dt = (time.perf_counter() - t0) / frames
+    dt_single = (time.perf_counter() - t0) / frames
+
+    # batched throughput: B Monte-Carlo frames per device call (vmap)
+    batch = 8
+    b = sim.render_batch(range(batch))
+    b.block_until_ready()
+    t0 = time.perf_counter()
+    reps = 4
+    for i in range(reps):
+        b = sim.render_batch(range(i, i + batch))
+    b.block_until_ready()
+    dt = (time.perf_counter() - t0) / (reps * batch)
 
     rays_per_s = sim.rays_per_frame / dt
     result = {
@@ -52,6 +63,8 @@ def main() -> int:
         "extra": {
             "frames_per_s": round(1.0 / dt, 3),
             "frame_ms": round(dt * 1e3, 2),
+            "single_frame_ms": round(dt_single * 1e3, 2),
+            "batch": batch,
             "device": str(jax.devices()[0]),
             "elements": cfg.transducer_elements,
             "samples": cfg.samples_per_element,

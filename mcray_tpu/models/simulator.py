@@ -373,6 +373,26 @@ class Simulator:
 
         self._render = _render
 
+        @jax.jit
+        def _render_batch(keys, materials, pos, ang):
+            return jax.vmap(
+                lambda k: _render(k, materials, pos, ang, hash(cfg))["bmode"]
+            )(keys)
+
+        self._render_batch = _render_batch
+
+    def render_batch(self, seeds, materials=None, position=None, angles=None):
+        """Render many MC frames in ONE device call (vmap over seeds) —
+        amortises per-call dispatch and pipelines the kernels; the throughput
+        mode for sweeps, MC averaging and serving. Returns (B, H, W)."""
+        keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
+        return self._render_batch(
+            keys,
+            self.materials if materials is None else materials,
+            jnp.asarray(self.pack.transducer_position if position is None else position),
+            jnp.asarray(self.pack.transducer_angles if angles is None else angles),
+        )
+
     def render_frame(self, seed: int = 0, materials=None, position=None, angles=None):
         key = jax.random.PRNGKey(seed)
         return self._render(

@@ -62,6 +62,14 @@ def test_bvh_matches_brute_force_trace(sim):
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
+def test_render_batch_matches_frames(sim):
+    batch = np.asarray(sim.render_batch([0, 1]))
+    a = np.asarray(sim.render_frame(0)["bmode"])
+    b = np.asarray(sim.render_frame(1)["bmode"])
+    np.testing.assert_allclose(batch[0], a, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(batch[1], b, rtol=1e-5, atol=1e-6)
+
+
 def test_probe_pose_differentiable(sim):
     import jax.numpy as jnp
 
