@@ -81,6 +81,9 @@ class SimConfig:
     # Center the PSF convolution kernels instead of replicating the
     # reference's forward-shifted (uncentered) indexing (src/rfimage.h:102-118).
     centered_psf: bool = False
+    # Apply the reference's commented-out log compression before scan
+    # conversion (src/rfimage.h:131-136).
+    log_compression: bool = False
 
     # ------------------------------------------------------------------
     # Derived quantities (all pure functions of the fields above).

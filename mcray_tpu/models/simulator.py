@@ -300,6 +300,8 @@ def render(
         rf_raw = march_and_accumulate(segments, materials, volume, cfg)
     rf_conv = imaging.convolve_psf(rf_raw, cfg)
     rf_env = imaging.envelope(rf_conv)
+    if cfg.log_compression:
+        rf_env = imaging.log_compress(rf_env)
     bmode = imaging.scan_convert(rf_env, scan_maps[0], scan_maps[1])
     return {
         "bmode": bmode,
