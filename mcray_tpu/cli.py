@@ -28,6 +28,21 @@ def _force_platform(name: str) -> None:
     import jax
 
     jax.config.update("jax_platforms", name)
+
+
+def _enable_compilation_cache() -> None:
+    """Persist XLA compilations across processes — first-frame compiles of
+    the full pipeline run 1-5 minutes on TPU, subsequent launches hit the
+    cache."""
+    import jax
+
+    try:
+        cache_dir = os.path.expanduser("~/.cache/mcray_tpu_xla")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass  # cache is an optimisation only
 from .models.simulator import Simulator
 from .scene.compile import load_and_compile
 from .utils.image_io import save_png
@@ -60,6 +75,7 @@ def render_main(argv) -> int:
 
     if args.platform:
         _force_platform(args.platform)
+    _enable_compilation_cache()
 
     overrides = {}
     if args.elements:
@@ -133,6 +149,7 @@ def sweep_main(argv) -> int:
     args = p.parse_args(argv)
     if args.platform:
         _force_platform(args.platform)
+    _enable_compilation_cache()
 
     overrides = {}
     if args.elements:
@@ -193,6 +210,7 @@ def fit_main(argv) -> int:
     args = p.parse_args(argv)
     if args.platform:
         _force_platform(args.platform)
+    _enable_compilation_cache()
 
     cfg = SimConfig(
         transducer_elements=args.elements,
