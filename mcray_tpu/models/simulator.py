@@ -395,6 +395,11 @@ class Simulator:
             jnp.asarray(self.pack.transducer_angles if angles is None else angles),
         )
 
+    def render_compound(self, seeds, **kw):
+        """Variance-reduced B-mode: average of independent Monte-Carlo frames
+        (speckle compounding). One device call via render_batch."""
+        return self.render_batch(seeds, **kw).mean(axis=0)
+
     def render_frame(self, seed: int = 0, materials=None, position=None, angles=None):
         key = jax.random.PRNGKey(seed)
         return self._render(

@@ -70,6 +70,31 @@ def test_render_batch_matches_frames(sim):
     np.testing.assert_allclose(batch[1], b, rtol=1e-5, atol=1e-6)
 
 
+def test_compound_reduces_speckle_variance(sim):
+    single = np.asarray(sim.render_frame(0)["bmode"])
+    compound = np.asarray(sim.render_compound(range(8)))
+    # speckle region: compare local variance inside the insonified area
+    mask = (single > 0.01) & (compound > 0.01)
+    assert mask.sum() > 100
+    assert compound[mask].std() < single[mask].std()
+
+
+def test_many_samples_per_scanline():
+    # driver config: high Monte-Carlo path counts per scanline
+    import os
+    from mcray_tpu.config import small_test_config
+    from mcray_tpu.scene.compile import load_and_compile
+
+    cfg = small_test_config(transducer_elements=8, samples_per_element=64)
+    pack = load_and_compile(
+        os.path.join(os.path.dirname(__file__), "..", "assets", "sphere", "sphere.scene"),
+        cfg,
+    )
+    out = Simulator(pack, cfg).render_frame(0)
+    assert np.isfinite(np.asarray(out["bmode"])).all()
+    assert np.asarray(out["rf_raw"]).max() > 0
+
+
 def test_probe_pose_differentiable(sim):
     import jax.numpy as jnp
 

@@ -52,6 +52,28 @@ def test_tiling_periodicity():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_procedural_field_distribution():
+    # the hash+Box-Muller field must be statistically N(0,1) iid per voxel
+    import jax.numpy as jnp
+    from mcray_tpu.ops.texture import procedural_fields
+
+    n = 200_000
+    idx = np.arange(n, dtype=np.int64)
+    ix = jnp.asarray(idx % 256, jnp.int32)
+    iy = jnp.asarray((idx // 256) % 256, jnp.int32)
+    iz = jnp.asarray(idx // 65536, jnp.int32)
+    seeds = jnp.array([1234, 5678], jnp.uint32)
+    noise, prob = procedural_fields(ix, iy, iz, seeds, 256)
+    for field in (np.asarray(noise), np.asarray(prob)):
+        assert abs(field.mean()) < 0.01
+        assert abs(field.std() - 1.0) < 0.01
+        assert abs(np.mean(field**3)) < 0.05          # skewness
+        assert abs(np.mean(field**4) - 3.0) < 0.1     # kurtosis
+    # noise and prob are uncorrelated
+    a, b = np.asarray(noise), np.asarray(prob)
+    assert abs(np.corrcoef(a, b)[0, 1]) < 0.01
+
+
 def test_soft_mode_differentiable():
     cfg = small_test_config(soft_scattering=True, trilinear_texture=True)
     vol = _vol(cfg)
