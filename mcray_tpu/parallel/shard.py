@@ -62,6 +62,8 @@ def _shard_render_body(
     axis: str,
     n_shards: int,
     distributed_imaging: bool,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ):
     r_local = positions.shape[0]
     s = cfg.samples_per_element
@@ -81,9 +83,17 @@ def _shard_render_body(
         elements=(positions, directions, local_elem, path_ids),
         **trace_kw,
     )
-    rf_local = simulator.march_and_accumulate(
-        segments, materials, volume, cfg, n_cols=r_local
-    )
+    if use_pallas:
+        from ..ops.pallas.march import march_and_accumulate_pallas
+
+        rf_local = march_and_accumulate_pallas(
+            segments, materials, volume, cfg, n_cols=r_local,
+            interpret=pallas_interpret,
+        )
+    else:
+        rf_local = simulator.march_and_accumulate(
+            segments, materials, volume, cfg, n_cols=r_local
+        )
     if distributed_imaging:
         # column-sharded convolution with an (R, l-1) ppermute halo, local
         # envelope, then one all_gather of the finished RF for the polar
@@ -111,6 +121,8 @@ class ShardedRenderer:
         mesh: Mesh | None = None,
         seed: int = 0,
         distributed_imaging: bool = True,
+        use_pallas: bool | None = None,
+        pallas_interpret: bool = False,
     ):
         from ..ops import texture
 
@@ -123,6 +135,10 @@ class ShardedRenderer:
             raise ValueError(
                 f"transducer_elements ({cfg.transducer_elements}) must divide "
                 f"evenly over {n_dev} devices"
+            )
+        if use_pallas is None:
+            use_pallas = (
+                jax.default_backend() == "tpu" and cfg.texture_mode == "procedural"
             )
         self.scene = {k: jnp.asarray(v) for k, v in pack.trace_tables().items()}
         self.spacing = jnp.asarray(pack.spacing)
@@ -143,10 +159,16 @@ class ShardedRenderer:
             volume=self.volume,
             scan_maps=self.scan_maps,
             cfg=cfg,
-            trace_kw={},
+            trace_kw=(
+                {"use_pallas_intersect": True}
+                if (use_pallas and not pallas_interpret)
+                else {}
+            ),
             axis=axis,
             n_shards=n_dev,
             distributed_imaging=distributed_imaging,
+            use_pallas=bool(use_pallas),
+            pallas_interpret=pallas_interpret,
         )
         sharded = jax.shard_map(
             body,

@@ -84,6 +84,18 @@ def test_sharded_train_step_runs(setup):
     assert (np.asarray(mats) != np.asarray(r.materials)).any()
 
 
+def test_sharded_pallas_march_matches(setup):
+    # pallas march inside shard_map (interpret mode on the CPU mesh)
+    pack, cfg = setup
+    ref = ShardedRenderer(pack, cfg, mesh=make_mesh(4))
+    pal = ShardedRenderer(
+        pack, cfg, mesh=make_mesh(4), use_pallas=True, pallas_interpret=True
+    )
+    a = np.asarray(ref.render_frame(0)["bmode"])
+    b = np.asarray(pal.render_frame(0)["bmode"])
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
 def test_uneven_shard_rejected(setup):
     pack, cfg = setup
     import dataclasses
