@@ -67,6 +67,7 @@ def trace_paths(
     bvh_arrays: tuple | None = None,
     intersect_chunk: int = 0,
     use_pallas_intersect: bool = False,
+    packet_bvh: dict | None = None,
     elements: tuple[Array, Array, Array, Array] | None = None,
 ) -> dict[str, Array]:
     """Monte-Carlo path tracing for all R*S paths; returns the dense segment
@@ -119,7 +120,11 @@ def trace_paths(
         dest = state["from"] + (r_length[:, None] / 100.0) * spacing * state["dir"]
         seg_vec = dest - origin
 
-        if use_bvh and bvh_arrays is not None:
+        if packet_bvh is not None:
+            from ..ops.pallas.bvh_packet import bvh_packet_intersect
+
+            hits = bvh_packet_intersect(origin, seg_vec, packet_bvh)
+        elif use_bvh and bvh_arrays is not None:
             nodes, meta, order = bvh_arrays
             hits = bvh_intersect_closest(
                 origin, seg_vec, tris, tri_mesh_id, nodes, meta, order
@@ -336,6 +341,15 @@ class Simulator:
             )
         self.use_pallas_march = use_pallas_march
         self.use_pallas_intersect = jax.default_backend() == "tpu" and not self.use_bvh
+        # packet-BVH path: opt-in for large scenes via use_bvh on TPU (the
+        # coherent-packet Pallas traversal); jnp while_loop traversal elsewhere
+        self.packet_bvh = None
+        if self.use_bvh and jax.default_backend() == "tpu":
+            from ..ops.pallas.bvh_packet import pack_bvh_for_kernel
+
+            self.packet_bvh = pack_bvh_for_kernel(
+                pack.bvh, pack.tris, pack.tri_mesh_id
+            )
         self.scene = {k: jnp.asarray(v) for k, v in pack.trace_tables().items()}
         self.spacing = jnp.asarray(pack.spacing)
         self.starting_material = jnp.int32(pack.starting_material)
@@ -368,9 +382,10 @@ class Simulator:
                 self.scan_maps,
                 cfg,
                 use_pallas_march=self.use_pallas_march,
-                use_bvh=self.use_bvh,
+                use_bvh=self.use_bvh and self.packet_bvh is None,
                 bvh_arrays=self.bvh_arrays,
                 use_pallas_intersect=self.use_pallas_intersect,
+                packet_bvh=self.packet_bvh,
             )
 
         self._render = _render
