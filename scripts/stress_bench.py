@@ -1,0 +1,101 @@
+"""Large-scene scaling benchmark: brute-force Pallas vs packet-BVH traversal.
+
+Generates synthetic organ scenes at increasing triangle counts and reports
+trace time per frame for both intersection paths. Run on a real TPU:
+
+    python scripts/stress_bench.py --tris 20000 80000 200000
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def build_scene_arrays(n_tris: int, seed: int = 0):
+    """A ball of random organ-ish ellipsoid shells totalling ~n_tris."""
+    from mcray_tpu.scene.primitives import ellipsoid_mesh
+
+    rng = np.random.default_rng(seed)
+    tris = []
+    mids = []
+    k = 0
+    while sum(t.shape[0] for t in tris) < n_tris:
+        sub = int(np.clip(np.sqrt(n_tris / 8), 8, 64))
+        v, f = ellipsoid_mesh(
+            radii=rng.uniform(0.5, 3.0, 3),
+            center=rng.uniform(-5, 5, 3),
+            n_theta=sub,
+            n_phi=2 * sub,
+        )
+        tris.append(v[f])
+        mids.append(np.full((f.shape[0],), k % 4, np.int32))
+        k += 1
+    tris = np.concatenate(tris)[:n_tris].astype(np.float32)
+    mids = np.concatenate(mids)[:n_tris]
+    return tris, mids
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--tris", type=int, nargs="+", default=[20000, 80000])
+    p.add_argument("--rays", type=int, default=2560)
+    p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--interpret", action="store_true", help="CPU interpret mode (correctness only)")
+    p.add_argument("--platform", default=None)
+    args = p.parse_args()
+
+    import jax
+
+    if args.platform or args.interpret:
+        jax.config.update("jax_platforms", args.platform or "cpu")
+    import jax.numpy as jnp
+
+    from mcray_tpu.ops.bvh import build_bvh
+    from mcray_tpu.ops.pallas.bvh_packet import bvh_packet_intersect, pack_bvh_for_kernel
+    from mcray_tpu.ops.pallas.intersect import intersect_closest_pallas
+
+    rng = np.random.default_rng(1)
+    n = args.rays
+    # a coherent fan + some bounce-like incoherent rays
+    origins = np.tile(np.array([[-12.0, 0.0, 0.0]], np.float32), (n, 1))
+    theta = np.linspace(-0.5, 0.5, n)
+    segs = np.stack([np.cos(theta) * 25, np.sin(theta) * 25, np.zeros(n)], -1).astype(np.float32)
+    o = jnp.asarray(origins)
+    s = jnp.asarray(segs)
+
+    for t_count in args.tris:
+        tris, mids = build_scene_arrays(t_count)
+        tris_j, mids_j = jnp.asarray(tris), jnp.asarray(mids)
+        bvh = build_bvh(tris, leaf_size=4)
+        packed = pack_bvh_for_kernel(bvh, tris, mids)
+
+        brute = jax.jit(lambda o, s: intersect_closest_pallas(o, s, tris_j, mids_j, interpret=args.interpret)["t"])
+        packet = jax.jit(lambda o, s: bvh_packet_intersect(o, s, packed, interpret=args.interpret)["t"])
+
+        results = {}
+        for name, fn in [("brute", brute), ("packet-bvh", packet)]:
+            out = jax.block_until_ready(fn(o, s))
+            t0 = time.perf_counter()
+            for _ in range(args.reps):
+                out2 = jax.block_until_ready(fn(o, s))
+            dt = (time.perf_counter() - t0) / args.reps
+            results[name] = (dt, out2)
+        agree = bool(jnp.allclose(results["brute"][1], results["packet-bvh"][1], rtol=1e-4))
+        print(
+            f"T={t_count}: brute {results['brute'][0]*1e3:.2f} ms, "
+            f"packet-bvh {results['packet-bvh'][0]*1e3:.2f} ms, "
+            f"speedup {results['brute'][0]/results['packet-bvh'][0]:.2f}x, agree={agree}",
+            flush=True,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -74,6 +74,6 @@ def test_grad_nonzero_for_scene_materials(sim):
     g = np.asarray(jax.grad(loss)(sim.materials))
     assert np.isfinite(g).all()
     # GEL (starting medium) and LIVER (box) must receive gradient
-    names = [m.name for m in []]  # doc only
+    
     assert np.abs(g[0]).sum() > 0  # GEL row
     assert np.abs(g[3]).sum() > 0  # LIVER row
