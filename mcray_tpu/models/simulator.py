@@ -203,6 +203,23 @@ def trace_paths(
     return segments
 
 
+def segment_march_quantities(segments: dict[str, Array], materials: Array, cfg: SimConfig):
+    """Shared derived quantities of the march loop (used by both the jnp
+    scatter path and the Pallas kernel packing, keeping their formulas in
+    lockstep): steps (float), start time t0 [us], ln attenuation-per-step,
+    per-segment material scattering params."""
+    axres = cfg.axial_resolution_mm
+    # scene::distance ignores spacing (src/scene.cpp:342-346)
+    seg_len = safe_norm(segments["to"] - segments["from"]) * 10.0
+    steps = jnp.floor(seg_len / axres)
+    t0 = segments["distance"] * 1000.0 / cfg.speed_of_sound
+    ln_att_step = -segments["attenuation"] * axres * 0.01 * cfg.transducer_frequency
+    mu0 = materials[segments["media_id"], physics.MU0]
+    mu1 = materials[segments["media_id"], physics.MU1]
+    sigma = materials[segments["media_id"], physics.SIGMA]
+    return steps, t0, ln_att_step, mu0, mu1, sigma
+
+
 def march_and_accumulate(
     segments: dict[str, Array],
     materials: Array,
@@ -216,20 +233,14 @@ def march_and_accumulate(
     flat = {k: v.reshape((d * n,) + v.shape[2:]) for k, v in segments.items()}
 
     axres = cfg.axial_resolution_mm
-    freq = cfg.transducer_frequency
     t_window = float(cfg.max_travel_time_us)
     dt = cfg.march_dt_us
     max_steps = cfg.max_march_steps
 
-    # scene::distance ignores spacing (src/scene.cpp:342-346)
-    seg_len = safe_norm(flat["to"] - flat["from"]) * 10.0
-    steps = jnp.floor(seg_len / axres).astype(jnp.int32)
-    t0 = flat["distance"] * 1000.0 / cfg.speed_of_sound
-
-    mu0 = materials[flat["media_id"], physics.MU0]
-    mu1 = materials[flat["media_id"], physics.MU1]
-    sigma = materials[flat["media_id"], physics.SIGMA]
-    ln_att_step = -flat["attenuation"] * axres * 0.01 * freq
+    steps_f, t0, ln_att_step, mu0, mu1, sigma = segment_march_quantities(
+        flat, materials, cfg
+    )
+    steps = steps_f.astype(jnp.int32)
 
     k = jnp.arange(max_steps, dtype=jnp.float32)[None, :]  # (1, K)
     t_k = t0[:, None] + k * dt

@@ -146,12 +146,11 @@ def pack_segments(segments, materials, cfg: SimConfig, n_cols: int):
     Paths are ordered column-major (path = c * S + s), so columns are a
     reshape away. Pads C up to a TILE_C multiple with invalid columns.
     """
-    from .. import physics
+    from ...models.simulator import segment_march_quantities
 
     d, n = segments["valid"].shape
     s = cfg.samples_per_element
     c = n_cols
-    axres = cfg.axial_resolution_mm
     rdt = cfg.rf_row_dt_us
     dt = cfg.march_dt_us
 
@@ -160,17 +159,11 @@ def pack_segments(segments, materials, cfg: SimConfig, n_cols: int):
         return x.reshape(d, c, s).transpose(1, 2, 0).reshape(c, s * d)
 
     frm = segments["from"].reshape(d, n, 3)
-    to = segments["to"].reshape(d, n, 3)
     dire = segments["direction"].reshape(d, n, 3)
 
-    seg_len = jnp.sqrt(jnp.sum((to - frm) ** 2, axis=-1)) * 10.0
-    steps = jnp.floor(seg_len / axres)
-    t0 = segments["distance"] * 1000.0 / cfg.speed_of_sound
-    ln_att = -segments["attenuation"] * axres * 0.01 * cfg.transducer_frequency
-
-    mu0 = materials[segments["media_id"], physics.MU0]
-    mu1 = materials[segments["media_id"], physics.MU1]
-    sigma = materials[segments["media_id"], physics.SIGMA]
+    steps, t0, ln_att, mu0, mu1, sigma = segment_march_quantities(
+        segments, materials, cfg
+    )
 
     b_time = t0 + dt * (steps - 1.0)
     b_row = jnp.floor(b_time / rdt)
