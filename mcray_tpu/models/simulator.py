@@ -340,6 +340,7 @@ class Simulator:
         use_bvh: bool = False,
         seed: int = 0,
         use_pallas_march: bool | None = None,
+        use_packet_bvh: bool = False,
     ):
         self.cfg = cfg
         self.pack = pack
@@ -352,10 +353,11 @@ class Simulator:
             )
         self.use_pallas_march = use_pallas_march
         self.use_pallas_intersect = jax.default_backend() == "tpu" and not self.use_bvh
-        # packet-BVH path: opt-in for large scenes via use_bvh on TPU (the
-        # coherent-packet Pallas traversal); jnp while_loop traversal elsewhere
+        # packet-BVH path: explicit opt-in (interpret-verified; compiled TPU
+        # profile still pending — the scalar-heavy traversal loop compiles
+        # slowly under Mosaic); jnp while_loop traversal is the default BVH
         self.packet_bvh = None
-        if self.use_bvh and jax.default_backend() == "tpu":
+        if use_packet_bvh and self.use_bvh:
             from ..ops.pallas.bvh_packet import pack_bvh_for_kernel
 
             self.packet_bvh = pack_bvh_for_kernel(
