@@ -91,6 +91,9 @@ def trace_paths(
     else:
         positions, directions, elem_idx, path_ids = elements
     n = elem_idx.shape[0]
+    # paths per element in THIS batch (differs from cfg.samples_per_element
+    # when the sample axis is sharded)
+    local_samples = n // positions.shape[0]
     path_keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, path_ids)
 
     tris = scene["tris"]
@@ -100,8 +103,8 @@ def trace_paths(
     mesh_vasc = scene["mesh_is_vascular"]
 
     state = {
-        "from": jnp.repeat(positions, n_samples, axis=0),
-        "dir": jnp.repeat(directions, n_samples, axis=0),
+        "from": jnp.repeat(positions, local_samples, axis=0),
+        "dir": jnp.repeat(directions, local_samples, axis=0),
         "media_id": jnp.full((n,), starting_material, jnp.int32),
         "media_outside_id": jnp.full((n,), -1, jnp.int32),
         "intensity": jnp.full((n,), cfg.initial_intensity / n_samples, jnp.float32),

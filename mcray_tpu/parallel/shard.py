@@ -46,6 +46,15 @@ def make_mesh(n_devices: int | None = None, axis: str = "rays") -> Mesh:
     return Mesh(devs, (axis,))
 
 
+def make_mesh_2d(n_rays: int, n_samples: int) -> Mesh:
+    """2-D mesh: scanlines x Monte-Carlo samples (SURVEY.md §2.3 long axes:
+    scanlines shard chip-locally; samples are a pure psum reduction axis)."""
+    import numpy as np
+
+    devs = np.asarray(jax.devices()[: n_rays * n_samples]).reshape(n_rays, n_samples)
+    return Mesh(devs, ("rays", "samples"))
+
+
 def _shard_render_body(
     key,
     materials,
@@ -109,6 +118,116 @@ def _shard_render_body(
         rf_env = imaging.envelope(rf_conv)
     bmode = imaging.scan_convert(rf_env, scan_maps[0], scan_maps[1])
     return bmode, rf_local
+
+
+def _shard_render_body_2d(
+    key,
+    materials,
+    positions,      # (R_local, 3) this chip's elements (sharded over "rays")
+    directions,
+    elem_global0,   # (R_local,) global element indices
+    scene,
+    spacing,
+    starting_material,
+    volume,
+    scan_maps,
+    cfg: SimConfig,
+    axis_r: str,
+    axis_s: str,
+    n_r: int,
+    n_s: int,
+):
+    """2-D mesh body: scanlines sharded over ``axis_r`` (chip-local RF
+    columns), Monte-Carlo samples sharded over ``axis_s`` (a pure psum
+    reduction of partial RF images — SURVEY.md §2.3 long-axis (c))."""
+    r_local = positions.shape[0]
+    s_global = cfg.samples_per_element
+    s_local = s_global // n_s
+    my_s = jax.lax.axis_index(axis_s)
+
+    local_elem = jnp.repeat(jnp.arange(r_local, dtype=jnp.int32), s_local)
+    # global path id = global_elem * S + (my_s * S_local + local_sample)
+    elem_g = jnp.repeat(elem_global0.astype(jnp.uint32), s_local)
+    samp_g = (my_s * s_local).astype(jnp.uint32) + jnp.tile(
+        jnp.arange(s_local, dtype=jnp.uint32), r_local
+    )
+    path_ids = elem_g * s_global + samp_g
+
+    segments = simulator.trace_paths(
+        key, materials, jnp.zeros(3), jnp.zeros(3), scene, spacing,
+        starting_material, cfg,
+        elements=(positions, directions, local_elem, path_ids),
+    )
+    rf_partial = simulator.march_and_accumulate(
+        segments, materials, volume, cfg, n_cols=r_local
+    )
+    # samples axis: pure reduction of partial RF images over ICI
+    rf_local = jax.lax.psum(rf_partial, axis_s)
+    rf_conv_local = imaging.convolve_psf_sharded(rf_local, cfg, axis_r, n_r)
+    rf_env_local = imaging.envelope(rf_conv_local)
+    rf_env = jax.lax.all_gather(rf_env_local, axis_r, axis=1, tiled=True)
+    bmode = imaging.scan_convert(rf_env, scan_maps[0], scan_maps[1])
+    return bmode, rf_local
+
+
+class ShardedRenderer2D:
+    """Renderer over a ("rays", "samples") 2-D device mesh."""
+
+    def __init__(self, pack, cfg: SimConfig, mesh: Mesh, seed: int = 0):
+        from ..ops import texture
+
+        self.cfg = cfg
+        self.pack = pack
+        self.mesh = mesh
+        axis_r, axis_s = mesh.axis_names
+        n_r = mesh.shape[axis_r]
+        n_s = mesh.shape[axis_s]
+        if cfg.transducer_elements % n_r or cfg.samples_per_element % n_s:
+            raise ValueError("elements/samples must divide the mesh axes")
+        self.scene = {k: jnp.asarray(v) for k, v in pack.trace_tables().items()}
+        self.materials = jnp.asarray(pack.materials)
+        self.volume = texture.make_texture_volume(jax.random.PRNGKey(seed ^ 0x5CA77E7), cfg)
+        maps = imaging.scan_conversion_maps(cfg)
+        scan_maps = (jnp.asarray(maps[0]), jnp.asarray(maps[1]))
+
+        body = functools.partial(
+            _shard_render_body_2d,
+            scene=self.scene,
+            spacing=jnp.asarray(pack.spacing),
+            starting_material=jnp.int32(pack.starting_material),
+            volume=self.volume,
+            scan_maps=scan_maps,
+            cfg=cfg,
+            axis_r=axis_r,
+            axis_s=axis_s,
+            n_r=n_r,
+            n_s=n_s,
+        )
+        sharded = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), P(), P(axis_r), P(axis_r), P(axis_r)),
+            out_specs=(P(), P(None, axis_r)),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def _render(key, materials, position, angles):
+            positions, directions = element_layout(position, angles, cfg)
+            elem0 = jnp.arange(cfg.transducer_elements, dtype=jnp.int32)
+            return sharded(key, materials, positions, directions, elem0)
+
+        self._render = _render
+
+    def render_frame(self, seed: int = 0, materials=None, position=None, angles=None):
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), 0)
+        bmode, rf_local = self._render(
+            key,
+            self.materials if materials is None else materials,
+            jnp.asarray(self.pack.transducer_position if position is None else position),
+            jnp.asarray(self.pack.transducer_angles if angles is None else angles),
+        )
+        return {"bmode": bmode, "rf_raw": rf_local}
 
 
 class ShardedRenderer:

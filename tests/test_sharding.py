@@ -96,6 +96,19 @@ def test_sharded_pallas_march_matches(setup):
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
+def test_2d_mesh_matches_single_chip(setup):
+    # rays x samples mesh: sample axis is a pure psum reduction; global
+    # per-path keys keep it bitwise equal to the single-chip render
+    from mcray_tpu.parallel.shard import ShardedRenderer2D, make_mesh_2d
+
+    pack, cfg = setup  # 64 elements x 2 samples -> mesh (4, 2)
+    sim = Simulator(pack, cfg)
+    r2d = ShardedRenderer2D(pack, cfg, mesh=make_mesh_2d(4, 2))
+    a = np.asarray(sim.render_frame(0)["bmode"])
+    b = np.asarray(r2d.render_frame(0)["bmode"])
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
 def test_uneven_shard_rejected(setup):
     pack, cfg = setup
     import dataclasses
