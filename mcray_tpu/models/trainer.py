@@ -116,18 +116,83 @@ class MaterialFitter:
         self._step = step
 
     def run(self, n_steps: int, seed: int = 0, log_every: int = 10, verbose: bool = True):
-        losses = []
-        for i in range(n_steps):
-            if self.fixed_key is not None:
-                key = self.fixed_key
-            else:
-                key = jax.random.fold_in(jax.random.PRNGKey(seed), self.state.step)
-            materials, opt_state, loss, grads = self._step(
-                self.state.materials, self.state.opt_state, key
+        return _run_loop(self, n_steps, seed, log_every, verbose)
+
+
+class PoseFitter:
+    """EXPERIMENTAL: gradient descent on the probe pose.
+
+    The probe layout is a pure function of pose (probe/transducer.py), so
+    pose gradients exist end-to-end through the renderer. However, the
+    pixel-MSE landscape w.r.t. pose is speckle-rough: moving the probe a
+    fraction of a wavelength fully decorrelates speckle, so naive descent is
+    not a reliable registration method (measured: non-monotone loss and
+    sign-noisy gradients within +-0.3 world units even with frozen RNG and
+    compounding). This class exposes the machinery; robust registration
+    needs a speckle-invariant objective (future work).
+
+    ``render_fn(key, position, angles) -> bmode``.
+    """
+
+    def __init__(
+        self,
+        render_fn,
+        init_position: Array,
+        init_angles: Array,
+        target: Array,
+        learning_rate: float = 5e-2,
+        fit_angles: bool = False,
+        fixed_key: Array | None = None,
+    ):
+        self.render_fn = render_fn
+        self.target = target
+        self.fit_angles = fit_angles
+        self.fixed_key = fixed_key
+        self.n_frames = 1
+        self.optimizer = optax.adam(learning_rate)
+        params = {"position": jnp.asarray(init_position)}
+        if fit_angles:
+            params["angles"] = jnp.asarray(init_angles)
+        self._angles0 = jnp.asarray(init_angles)
+        self.state = FitState(materials=params, opt_state=self.optimizer.init(params))
+
+        def loss_fn(params, key):
+            ang = params.get("angles", self._angles0)
+            pred = self.render_fn(key, params["position"], ang)
+            return jnp.mean((pred - self.target) ** 2)
+
+        @jax.jit
+        def step(params, opt_state, key):
+            loss, grads = jax.value_and_grad(loss_fn)(params, key)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss, grads
+
+        self._step = step
+
+    def run(self, n_steps: int, seed: int = 0, log_every: int = 10, verbose: bool = True):
+        return _run_loop(self, n_steps, seed, log_every, verbose)
+
+    @property
+    def position(self):
+        return self.state.materials["position"]
+
+
+def _run_loop(fitter, n_steps: int, seed: int, log_every: int, verbose: bool):
+    losses = []
+    for i in range(n_steps):
+        if fitter.fixed_key is not None:
+            key = fitter.fixed_key
+        else:
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), fitter.state.step)
+        params, opt_state, loss, grads = fitter._step(
+            fitter.state.materials, fitter.state.opt_state, key
+        )
+        fitter.state = FitState(params, opt_state, fitter.state.step + 1)
+        losses.append(float(loss))
+        if verbose and (i % log_every == 0 or i == n_steps - 1):
+            gnorm = float(
+                optax.global_norm(grads) if not isinstance(grads, jax.Array)
+                else jnp.linalg.norm(grads)
             )
-            self.state = FitState(materials, opt_state, self.state.step + 1)
-            losses.append(float(loss))
-            if verbose and (i % log_every == 0 or i == n_steps - 1):
-                gnorm = float(jnp.linalg.norm(grads))
-                print(f"step {self.state.step}: loss {losses[-1]:.6g} |g| {gnorm:.3g}")
-        return losses
+            print(f"step {fitter.state.step}: loss {losses[-1]:.6g} |g| {gnorm:.3g}")
+    return losses
