@@ -40,6 +40,9 @@ class SimConfig:
     samples_per_element: int = 5            # Monte-Carlo paths per scanline
     transducer_amplitude_deg: float = 60.0  # convex arc aperture
     transducer_radius_cm: float = 3.0       # convex arc radius
+    # probe family: "convex" (the reference's arc array) or "linear"
+    # (elements on a line, parallel beams; B-mode needs no polar remap)
+    probe_type: str = "convex"
 
     # --- ray tracing (src/ray.h:23-24) ---
     max_depth: int = 10                     # bounce depth

@@ -214,8 +214,17 @@ def scan_conversion_maps(cfg: SimConfig) -> tuple[np.ndarray, np.ndarray]:
     """Precomputed polar->Cartesian gather maps, numerically identical to the
     reference's create_mapping (src/rfimage.h:183-215). Returns
     (map_row, map_col), each (bmode_rows, bmode_cols) float32 giving the RF
-    image coordinates to sample for each output pixel."""
+    image coordinates to sample for each output pixel.
+
+    Linear probes need no polar remap: the maps become a plain bilinear
+    resize of the rectangular RF grid to the output size."""
     out_rows, out_cols = cfg.bmode_rows, cfg.bmode_cols
+    if cfg.probe_type == "linear":
+        i = np.arange(out_rows, dtype=np.float32)[:, None]
+        j = np.arange(out_cols, dtype=np.float32)[None, :]
+        map_row = np.broadcast_to(i / out_rows * cfg.rf_rows, (out_rows, out_cols))
+        map_col = np.broadcast_to(j / out_cols * cfg.rf_cols, (out_rows, out_cols))
+        return map_row.astype(np.float32).copy(), map_col.astype(np.float32).copy()
     radius_mm = cfg.transducer_radius_cm * 10.0
     total = cfg.transducer_amplitude_rad
     depth_mm = cfg.max_travel_time_us * cfg.speed_of_sound * 0.001

@@ -24,14 +24,35 @@ def element_layout(
     angles_deg: Array,  # (3,) degrees, reference order [x, y, z]
     cfg: SimConfig,
 ):
-    """Positions and outward directions of all N elements.
+    """Positions and outward directions of all N elements; dispatches on
+    cfg.probe_type. Returns (positions (N,3), directions (N,3))."""
+    if cfg.probe_type == "linear":
+        return element_layout_linear(position, angles_deg, cfg)
+    return element_layout_convex(position, angles_deg, cfg)
+
+
+def element_layout_linear(position: Array, angles_deg: Array, cfg: SimConfig):
+    """Linear array: N elements along the (rotated) x axis at the reference's
+    element pitch, all beams parallel to the (rotated) +y axis. A new probe
+    family the reference lacks (its transducer is convex-only)."""
+    n = cfg.transducer_elements
+    pitch_world = cfg.element_separation_mm / 10.0  # mm -> world (cm-ish)
+    offsets = (jnp.arange(n, dtype=jnp.float32) - (n - 1) / 2.0) * pitch_world
+    angles_rad = jnp.deg2rad(jnp.asarray(angles_deg, jnp.float32))
+    lateral = euler_zxy(jnp.array([[1.0, 0.0, 0.0]], jnp.float32), angles_rad)[0]
+    beam = euler_zxy(jnp.array([[0.0, 1.0, 0.0]], jnp.float32), angles_rad)[0]
+    positions = jnp.asarray(position, jnp.float32) + offsets[:, None] * lateral
+    directions = jnp.broadcast_to(beam, (n, 3))
+    return positions, directions
+
+
+def element_layout_convex(position: Array, angles_deg: Array, cfg: SimConfig):
+    """Convex-arc positions and outward directions.
 
     Matches the reference arc construction exactly
     (reference: src/transducer.h:41-59): angular pitch = separation/radius,
     first element at -(pitch*N/2) + pitch/2, unit vector (sin a, cos a, 0)
     rotated by the z->x->y chain; position = probe_pos + radius_cm * dir.
-
-    Returns (positions (N,3), directions (N,3)).
     """
     n = cfg.transducer_elements
     radius_mm = cfg.transducer_radius_cm * 10.0
