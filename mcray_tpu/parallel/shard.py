@@ -116,6 +116,9 @@ def _shard_render_body(
         rf_full = jax.lax.all_gather(rf_local, axis, axis=1, tiled=True)
         rf_conv = imaging.convolve_psf(rf_full, cfg)
         rf_env = imaging.envelope(rf_conv)
+    if cfg.log_compression:
+        # global max -> needs the gathered image in both branches
+        rf_env = imaging.log_compress(rf_env)
     bmode = imaging.scan_convert(rf_env, scan_maps[0], scan_maps[1])
     return bmode, rf_local
 
@@ -166,6 +169,8 @@ def _shard_render_body_2d(
     rf_conv_local = imaging.convolve_psf_sharded(rf_local, cfg, axis_r, n_r)
     rf_env_local = imaging.envelope(rf_conv_local)
     rf_env = jax.lax.all_gather(rf_env_local, axis_r, axis=1, tiled=True)
+    if cfg.log_compression:
+        rf_env = imaging.log_compress(rf_env)
     bmode = imaging.scan_convert(rf_env, scan_maps[0], scan_maps[1])
     return bmode, rf_local
 
