@@ -24,6 +24,10 @@ CPU_PROXY_RAYS_PER_S = 28_700.0
 def main() -> int:
     import jax
 
+    from mcray_tpu.cli import _enable_compilation_cache
+
+    _enable_compilation_cache()
+
     from mcray_tpu.config import SimConfig
     from mcray_tpu.models.simulator import Simulator
     from mcray_tpu.scene.compile import load_and_compile
