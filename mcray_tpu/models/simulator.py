@@ -313,12 +313,15 @@ def render(
     )
     if use_pallas_march:
         from ..ops.pallas.march import march_and_accumulate_pallas
+        from ..ops.pallas.postproc import convolve_envelope_pallas
 
         rf_raw = march_and_accumulate_pallas(segments, materials, volume, cfg)
+        rf_env = convolve_envelope_pallas(rf_raw, cfg)
+        rf_conv = rf_raw  # fused kernel does not materialise the intermediate
     else:
         rf_raw = march_and_accumulate(segments, materials, volume, cfg)
-    rf_conv = imaging.convolve_psf(rf_raw, cfg)
-    rf_env = imaging.envelope(rf_conv)
+        rf_conv = imaging.convolve_psf(rf_raw, cfg)
+        rf_env = imaging.envelope(rf_conv)
     if cfg.log_compression:
         rf_env = imaging.log_compress(rf_env)
     bmode = imaging.scan_convert(rf_env, scan_maps[0], scan_maps[1])
