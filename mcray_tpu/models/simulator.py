@@ -296,6 +296,7 @@ def render(
     scan_maps: tuple[Array, Array],
     cfg: SimConfig,
     use_pallas_march: bool = False,
+    use_fused_postproc: bool = False,
     **trace_kw,
 ) -> dict[str, Array]:
     """Full frame: returns bmode (bmode_rows, bmode_cols) plus intermediates."""
@@ -313,13 +314,16 @@ def render(
     )
     if use_pallas_march:
         from ..ops.pallas.march import march_and_accumulate_pallas
-        from ..ops.pallas.postproc import convolve_envelope_pallas
 
         rf_raw = march_and_accumulate_pallas(segments, materials, volume, cfg)
+    else:
+        rf_raw = march_and_accumulate(segments, materials, volume, cfg)
+    if use_fused_postproc:
+        from ..ops.pallas.postproc import convolve_envelope_pallas
+
         rf_env = convolve_envelope_pallas(rf_raw, cfg)
         rf_conv = rf_raw  # fused kernel does not materialise the intermediate
     else:
-        rf_raw = march_and_accumulate(segments, materials, volume, cfg)
         rf_conv = imaging.convolve_psf(rf_raw, cfg)
         rf_env = imaging.envelope(rf_conv)
     if cfg.log_compression:
@@ -347,6 +351,7 @@ class Simulator:
         seed: int = 0,
         use_pallas_march: bool | None = None,
         use_packet_bvh: bool = False,
+        use_fused_postproc: bool = False,
     ):
         self.cfg = cfg
         self.pack = pack
@@ -358,6 +363,9 @@ class Simulator:
                 jax.default_backend() == "tpu" and cfg.texture_mode == "procedural"
             )
         self.use_pallas_march = use_pallas_march
+        # fused conv+envelope kernel: interpret-verified, opt-in until its
+        # compiled TPU profile is confirmed
+        self.use_fused_postproc = use_fused_postproc
         self.use_pallas_intersect = jax.default_backend() == "tpu" and not self.use_bvh
         # packet-BVH path: explicit opt-in (interpret-verified; compiled TPU
         # profile still pending — the scalar-heavy traversal loop compiles
@@ -401,6 +409,7 @@ class Simulator:
                 self.scan_maps,
                 cfg,
                 use_pallas_march=self.use_pallas_march,
+                use_fused_postproc=self.use_fused_postproc,
                 use_bvh=self.use_bvh and self.packet_bvh is None,
                 bvh_arrays=self.bvh_arrays,
                 use_pallas_intersect=self.use_pallas_intersect,
