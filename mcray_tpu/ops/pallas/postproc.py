@@ -136,8 +136,8 @@ def convolve_envelope_pallas(rf: jax.Array, cfg: SimConfig, *, interpret: bool =
     rows, cols = rf.shape
     rows_pad = ((rows + 7) // 8) * 8
     rf_p = jnp.pad(rf, ((0, rows_pad - rows), (0, 0)))
-    ax = tuple(float(v) for v in np.asarray(psf_mod.axial_kernel(cfg)))
-    lat = tuple(float(v) for v in np.asarray(psf_mod.lateral_kernel(cfg)))
+    ax = tuple(float(v) for v in psf_mod.axial_kernel_np(cfg))
+    lat = tuple(float(v) for v in psf_mod.lateral_kernel_np(cfg))
     kernel = functools.partial(
         _postproc_kernel, ax=ax, lat=lat, rows=rows, cols=cols, rows_pad=rows_pad
     )

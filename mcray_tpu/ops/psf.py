@@ -9,6 +9,7 @@ ignores it, matching reference behaviour.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from ..config import SimConfig
@@ -18,27 +19,40 @@ from ..config import SimConfig
 _REF_PI = 3.14159
 
 
-def axial_kernel(cfg: SimConfig) -> jnp.ndarray:
+def axial_kernel_np(cfg: SimConfig) -> np.ndarray:
+    """Host (numpy) kernel — constants even when called inside a jit trace
+    (the Pallas postproc kernel bakes these in as Python floats)."""
     res = cfg.resolution_um / 1000.0  # [mm]
     half = cfg.psf_axial_size * cfg.resolution_um / 1000.0 / 2.0
-    i = jnp.arange(cfg.psf_axial_size, dtype=jnp.float32)
+    i = np.arange(cfg.psf_axial_size, dtype=np.float32)
     x = i * res - half
-    return jnp.exp(-0.5 * x * x / cfg.psf_var_x) * jnp.cos(
-        2.0 * _REF_PI * cfg.transducer_frequency * x
-    )
+    return (np.exp(-0.5 * x * x / cfg.psf_var_x)
+            * np.cos(2.0 * _REF_PI * cfg.transducer_frequency * x)).astype(np.float32)
+
+
+def lateral_kernel_np(cfg: SimConfig) -> np.ndarray:
+    res = cfg.resolution_um / 1000.0
+    half = cfg.psf_lateral_size * cfg.resolution_um / 1000.0 / 2.0
+    i = np.arange(cfg.psf_lateral_size, dtype=np.float32)
+    y = i * res - half
+    return np.exp(-0.5 * y * y / cfg.psf_var_y).astype(np.float32)
+
+
+def elevation_kernel_np(cfg: SimConfig) -> np.ndarray:
+    res = cfg.resolution_um / 1000.0
+    half = cfg.psf_elevation_size * cfg.resolution_um / 1000.0 / 2.0
+    i = np.arange(cfg.psf_elevation_size, dtype=np.float32)
+    z = i * res - half
+    return np.exp(-0.5 * z * z / cfg.psf_var_z).astype(np.float32)
+
+
+def axial_kernel(cfg: SimConfig) -> jnp.ndarray:
+    return jnp.asarray(axial_kernel_np(cfg))
 
 
 def lateral_kernel(cfg: SimConfig) -> jnp.ndarray:
-    res = cfg.resolution_um / 1000.0
-    half = cfg.psf_lateral_size * cfg.resolution_um / 1000.0 / 2.0
-    i = jnp.arange(cfg.psf_lateral_size, dtype=jnp.float32)
-    y = i * res - half
-    return jnp.exp(-0.5 * y * y / cfg.psf_var_y)
+    return jnp.asarray(lateral_kernel_np(cfg))
 
 
 def elevation_kernel(cfg: SimConfig) -> jnp.ndarray:
-    res = cfg.resolution_um / 1000.0
-    half = cfg.psf_elevation_size * cfg.resolution_um / 1000.0 / 2.0
-    i = jnp.arange(cfg.psf_elevation_size, dtype=jnp.float32)
-    z = i * res - half
-    return jnp.exp(-0.5 * z * z / cfg.psf_var_z)
+    return jnp.asarray(elevation_kernel_np(cfg))
