@@ -351,7 +351,7 @@ class Simulator:
         seed: int = 0,
         use_pallas_march: bool | None = None,
         use_packet_bvh: bool = False,
-        use_fused_postproc: bool = False,
+        use_fused_postproc: bool | None = None,
     ):
         self.cfg = cfg
         self.pack = pack
@@ -363,8 +363,10 @@ class Simulator:
                 jax.default_backend() == "tpu" and cfg.texture_mode == "procedural"
             )
         self.use_pallas_march = use_pallas_march
-        # fused conv+envelope kernel: interpret-verified, opt-in until its
-        # compiled TPU profile is confirmed
+        # fused conv+envelope kernel: measured 14.3 -> 8.6 ms/frame batched
+        # on v5e; default-on wherever the march kernel is on
+        if use_fused_postproc is None:
+            use_fused_postproc = use_pallas_march
         self.use_fused_postproc = use_fused_postproc
         self.use_pallas_intersect = jax.default_backend() == "tpu" and not self.use_bvh
         # packet-BVH path: explicit opt-in (interpret-verified; compiled TPU
