@@ -87,6 +87,10 @@ class SimConfig:
     # Apply the reference's commented-out log compression before scan
     # conversion (src/rfimage.h:131-136).
     log_compression: bool = False
+    # Envelope detector: "reference" = the C++ peak-lerp Hilbert stand-in
+    # (src/rfimage.h:54-91), "hilbert" = exact |analytic signal| via FFT
+    # (SURVEY.md §7 item 4 calls for both).
+    envelope_mode: str = "reference"
 
     # ------------------------------------------------------------------
     # Derived quantities (all pure functions of the fields above).

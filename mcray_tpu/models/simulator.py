@@ -68,6 +68,7 @@ def trace_paths(
     intersect_chunk: int = 0,
     use_pallas_intersect: bool = False,
     packet_bvh: dict | None = None,
+    culled_tris=None,
     elements: tuple[Array, Array, Array, Array] | None = None,
 ) -> dict[str, Array]:
     """Monte-Carlo path tracing for all R*S paths; returns the dense segment
@@ -127,6 +128,10 @@ def trace_paths(
             from ..ops.pallas.bvh_packet import bvh_packet_intersect
 
             hits = bvh_packet_intersect(origin, seg_vec, packet_bvh)
+        elif culled_tris is not None:
+            from ..ops.pallas.intersect import intersect_closest_culled
+
+            hits = intersect_closest_culled(origin, seg_vec, culled_tris)
         elif use_bvh and bvh_arrays is not None:
             nodes, meta, order = bvh_arrays
             hits = bvh_intersect_closest(
@@ -318,14 +323,14 @@ def render(
         rf_raw = march_and_accumulate_pallas(segments, materials, volume, cfg)
     else:
         rf_raw = march_and_accumulate(segments, materials, volume, cfg)
-    if use_fused_postproc:
+    if use_fused_postproc and cfg.envelope_mode == "reference":
         from ..ops.pallas.postproc import convolve_envelope_pallas
 
         rf_env = convolve_envelope_pallas(rf_raw, cfg)
         rf_conv = rf_raw  # fused kernel does not materialise the intermediate
     else:
         rf_conv = imaging.convolve_psf(rf_raw, cfg)
-        rf_env = imaging.envelope(rf_conv)
+        rf_env = imaging.apply_envelope(rf_conv, cfg)
     if cfg.log_compression:
         rf_env = imaging.log_compress(rf_env)
     bmode = imaging.scan_convert(rf_env, scan_maps[0], scan_maps[1])
@@ -352,6 +357,7 @@ class Simulator:
         use_pallas_march: bool | None = None,
         use_packet_bvh: bool = False,
         use_fused_postproc: bool | None = None,
+        use_culled_intersect: bool | None = None,
     ):
         self.cfg = cfg
         self.pack = pack
@@ -369,6 +375,30 @@ class Simulator:
             use_fused_postproc = use_pallas_march
         self.use_fused_postproc = use_fused_postproc
         self.use_pallas_intersect = jax.default_backend() == "tpu" and not self.use_bvh
+        # cluster-culled brute force: the default large-scene TPU path.
+        # Triangles in SAH-BVH depth-first order, TILE_T-wide clusters with
+        # per-tile AABB early-out (BVH-grade pruning, static shapes). The
+        # per-ray while_loop BVH does not even compile on the remote-compile
+        # TPU backend, so this is the scalable path.
+        if use_culled_intersect is None:
+            use_culled_intersect = (
+                jax.default_backend() == "tpu"
+                and not use_packet_bvh
+                and pack.n_triangles >= 2048
+            )
+        self.culled_tris = None
+        if use_culled_intersect and pack.n_triangles > 0:
+            from ..ops.pallas.intersect import pack_tris_culled
+
+            order = pack.bvh.tri_order if pack.bvh is not None else None
+            self.culled_tris = pack_tris_culled(
+                pack.tris,
+                pack.tri_mesh_id,
+                order,
+                sort_origin=pack.transducer_position,
+            )
+            self.use_bvh = False
+            self.use_pallas_intersect = False
         # packet-BVH path: explicit opt-in (interpret-verified; compiled TPU
         # profile still pending — the scalar-heavy traversal loop compiles
         # slowly under Mosaic); jnp while_loop traversal is the default BVH
@@ -416,6 +446,7 @@ class Simulator:
                 bvh_arrays=self.bvh_arrays,
                 use_pallas_intersect=self.use_pallas_intersect,
                 packet_bvh=self.packet_bvh,
+                culled_tris=self.culled_tris,
             )
 
         self._render = _render

@@ -206,6 +206,39 @@ def envelope(rf: Array) -> Array:
     return jnp.where(has_next, lerped, x)
 
 
+def envelope_hilbert(rf: Array) -> Array:
+    """Exact envelope: |analytic signal| via FFT along the time (row) axis.
+
+    The reference's envelope is a fast peak-interpolation *stand-in* for the
+    Hilbert transform (src/rfimage.h:54-91 — "approximation of the hilbert
+    transform"); this is the real thing, offered behind
+    ``SimConfig.envelope_mode = "hilbert"`` (SURVEY.md §7 item 4). One
+    (R, C) complex FFT per frame is noise next to the march, and the whole
+    op is differentiable.
+    """
+    rows = rf.shape[0]
+    spec = jnp.fft.fft(rf, axis=0)
+    # analytic-signal filter: double positive freqs, keep DC (and Nyquist
+    # for even R), zero negative freqs
+    h = np.zeros((rows,), np.float32)
+    h[0] = 1.0
+    if rows % 2 == 0:
+        h[rows // 2] = 1.0
+        h[1 : rows // 2] = 2.0
+    else:
+        h[1 : (rows + 1) // 2] = 2.0
+    shape = (rows,) + (1,) * (rf.ndim - 1)
+    analytic = jnp.fft.ifft(spec * jnp.asarray(h).reshape(shape), axis=0)
+    return jnp.abs(analytic)
+
+
+def apply_envelope(rf: Array, cfg: SimConfig) -> Array:
+    """Dispatch on SimConfig.envelope_mode."""
+    if cfg.envelope_mode == "hilbert":
+        return envelope_hilbert(rf)
+    return envelope(rf)
+
+
 # ---------------------------------------------------------------------------
 # Scan conversion (reference create_mapping + cv::remap, src/rfimage.h:183-215, :139)
 # ---------------------------------------------------------------------------

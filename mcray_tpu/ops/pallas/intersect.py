@@ -14,10 +14,12 @@ the kernel from the winning triangle index.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -142,4 +144,244 @@ def intersect_closest_pallas(
         "point": point,
         "normal": normal,
         "mesh_id": jnp.where(hit, tri_mesh_id[best_idx], -1).astype(jnp.int32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Cluster-culled variant: brute-force tiles + per-tile AABB early-out.
+#
+# TPU-native middle ground between full brute force and a per-ray BVH stack
+# (SURVEY.md §7 "BVH traversal on TPU"): triangles are permuted into the SAH
+# BVH's depth-first leaf order (spatially coherent), chunked into TILE_T-wide
+# clusters, and each cluster tile carries its own AABB. The kernel slab-tests
+# the whole 128-ray packet against the cluster box and skips the entire
+# Moller-Trumbore block when no ray can improve its running closest hit —
+# BVH-style pruning with zero data-dependent memory access and fully static
+# shapes. Replaces Bullet's btBvhTriangleMeshShape::rayTest for large scenes
+# (reference src/scene.cpp:115-117) on the TPU compute path.
+# ---------------------------------------------------------------------------
+
+SOA_ROWS = 16  # v0.xyz e1.xyz e2.xyz (9) + cluster AABB (6) + 1 pad row
+
+
+@dataclasses.dataclass
+class CulledTris:
+    """Host-packed triangle clusters for intersect_closest_culled."""
+
+    soa: jax.Array        # (SOA_ROWS, C*TILE_T) f32
+    slot_mesh_id: jax.Array  # (C*TILE_T,) i32, -1 for padding slots
+    slot_e1: jax.Array    # (C*TILE_T, 3) f32 for normal reconstruction
+    slot_e2: jax.Array    # (C*TILE_T, 3) f32
+    n_slots: int
+
+
+def pack_tris_culled(
+    tris: np.ndarray,
+    tri_mesh_id: np.ndarray,
+    order: np.ndarray | None = None,
+    sort_origin: np.ndarray | None = None,
+) -> CulledTris:
+    """Permute triangles into spatial ``order`` (e.g. the SAH BVH's
+    depth-first tri_order) and pack TILE_T-wide clusters, each carrying its
+    AABB in SoA rows 9..14. Padding slots are degenerate (det==0, never hit)
+    and padding clusters get an empty box (+inf/-inf) so the whole tile is
+    culled.
+
+    ``sort_origin``: if given (typically the transducer position), clusters
+    are visited nearest-first relative to it, so each ray packet's running
+    closest hit tightens early and later tiles fail the AABB early-out —
+    the static-schedule analogue of ordered BVH descent."""
+    tris = np.asarray(tris, np.float32)
+    tri_mesh_id = np.asarray(tri_mesh_id, np.int32)
+    t = tris.shape[0]
+    if order is None:
+        order = np.arange(t)
+    order = np.asarray(order)
+    if sort_origin is not None and t > TILE_T:
+        so = np.asarray(sort_origin, np.float32)
+        cent = tris[order].mean(axis=1)  # (t, 3)
+        n_full = t // TILE_T
+        keys = np.empty((n_full + (1 if t % TILE_T else 0),), np.float32)
+        for c in range(keys.shape[0]):
+            chunk = cent[c * TILE_T : (c + 1) * TILE_T]
+            keys[c] = np.linalg.norm(chunk.mean(axis=0) - so)
+        cluster_perm = np.argsort(keys, kind="stable")
+        order = np.concatenate(
+            [order[c * TILE_T : (c + 1) * TILE_T] for c in cluster_perm]
+        )
+    tris_o = tris[order]
+    mid_o = tri_mesh_id[order]
+
+    t_pad = (-t) % TILE_T
+    n_tot = t + t_pad
+    soa = np.zeros((SOA_ROWS, n_tot), np.float32)
+    v0 = tris_o[:, 0]
+    e1 = tris_o[:, 1] - tris_o[:, 0]
+    e2 = tris_o[:, 2] - tris_o[:, 0]
+    soa[0:3, :t] = v0.T
+    soa[3:6, :t] = e1.T
+    soa[6:9, :t] = e2.T
+    # per-cluster AABB, broadcast across the cluster's columns
+    soa[9:12, :] = np.inf    # empty box for padding clusters
+    soa[12:15, :] = -np.inf
+    for c in range(0, t, TILE_T):
+        chunk = tris_o[c : c + TILE_T]  # (<=TILE_T, 3, 3)
+        lo = chunk.reshape(-1, 3).min(axis=0)
+        hi = chunk.reshape(-1, 3).max(axis=0)
+        soa[9:12, c : c + TILE_T] = lo[:, None]
+        soa[12:15, c : c + TILE_T] = hi[:, None]
+
+    slot_mid = np.full((n_tot,), -1, np.int32)
+    slot_mid[:t] = mid_o
+    slot_e1 = np.zeros((n_tot, 3), np.float32)
+    slot_e2 = np.zeros((n_tot, 3), np.float32)
+    slot_e1[:t] = e1
+    slot_e2[:t] = e2
+    return CulledTris(
+        soa=jnp.asarray(soa),
+        slot_mesh_id=jnp.asarray(slot_mid),
+        slot_e1=jnp.asarray(slot_e1),
+        slot_e2=jnp.asarray(slot_e2),
+        n_slots=n_tot,
+    )
+
+
+def _intersect_culled_kernel(rays_ref, tris_ref, t_ref, idx_ref, *, eps: float):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        t_ref[:] = jnp.full_like(t_ref, NO_HIT_T)
+        idx_ref[:] = jnp.zeros_like(idx_ref)
+
+    ox = rays_ref[0, :].reshape(1, TILE_R)
+    oy = rays_ref[1, :].reshape(1, TILE_R)
+    oz = rays_ref[2, :].reshape(1, TILE_R)
+    sx = rays_ref[3, :].reshape(1, TILE_R)
+    sy = rays_ref[4, :].reshape(1, TILE_R)
+    sz = rays_ref[5, :].reshape(1, TILE_R)
+
+    big = jnp.float32(1e30)
+
+    def inv(c):
+        ok = jnp.abs(c) > 1e-30
+        return jnp.where(ok, 1.0 / jnp.where(ok, c, 1.0), big)
+
+    # cluster AABB (same value in every column of this tile; read column 0)
+    bminx, bminy, bminz = tris_ref[9, 0], tris_ref[10, 0], tris_ref[11, 0]
+    bmaxx, bmaxy, bmaxz = tris_ref[12, 0], tris_ref[13, 0], tris_ref[14, 0]
+
+    ix_, iy_, iz_ = inv(sx), inv(sy), inv(sz)
+    tx0 = (bminx - ox) * ix_
+    tx1 = (bmaxx - ox) * ix_
+    ty0 = (bminy - oy) * iy_
+    ty1 = (bmaxy - oy) * iy_
+    tz0 = (bminz - oz) * iz_
+    tz1 = (bmaxz - oz) * iz_
+    enter = jnp.maximum(
+        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+        jnp.minimum(tz0, tz1),
+    )
+    leave = jnp.minimum(
+        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+        jnp.maximum(tz0, tz1),
+    )
+    active = (enter <= leave) & (leave > 0.0) & (enter < jnp.minimum(t_ref[:], 1.0))
+
+    @pl.when(jnp.any(active))
+    def _():
+        def trow(f):
+            return tris_ref[f, :].reshape(TILE_T, 1)
+
+        v0x, v0y, v0z = trow(0), trow(1), trow(2)
+        e1x, e1y, e1z = trow(3), trow(4), trow(5)
+        e2x, e2y, e2z = trow(6), trow(7), trow(8)
+
+        px = sy * e2z - sz * e2y
+        py = sz * e2x - sx * e2z
+        pz = sx * e2y - sy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        det_ok = jnp.abs(det) > eps
+        inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+
+        tx = ox - v0x
+        ty = oy - v0y
+        tz = oz - v0z
+        u = (tx * px + ty * py + tz * pz) * inv_det
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (sx * qx + sy * qy + sz * qz) * inv_det
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+
+        valid = (
+            det_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 0.0) & (t < 1.0)
+        )
+        t = jnp.where(valid, t, NO_HIT_T)
+
+        tmin = jnp.min(t, axis=0, keepdims=True)
+        targ = jnp.argmin(t, axis=0).reshape(1, TILE_R)
+
+        better = tmin < t_ref[:]
+        t_ref[:] = jnp.where(better, tmin, t_ref[:])
+        idx_ref[:] = jnp.where(better, j * TILE_T + targ, idx_ref[:])
+
+
+def intersect_closest_culled(
+    origins: jax.Array,   # (N, 3)
+    seg_vecs: jax.Array,  # (N, 3)
+    packed: CulledTris,
+    *,
+    interpret: bool = False,
+    eps: float = 1e-9,
+):
+    """Closest hit over cluster-culled triangle tiles; same contract as
+    intersect_closest. Winning index is a slot in cluster order; the normal
+    and mesh id are gathered from the pre-permuted slot tables."""
+    n = origins.shape[0]
+    n_pad = (-n) % TILE_R
+    rays = jnp.concatenate([origins, seg_vecs], axis=1).T
+    if n_pad:
+        rays = jnp.pad(rays, ((0, 0), (0, n_pad)))
+    n_tot = n + n_pad
+    grid = (n_tot // TILE_R, packed.n_slots // TILE_T)
+
+    kernel = functools.partial(_intersect_culled_kernel, eps=eps)
+    best_t, best_slot = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((6, TILE_R), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (SOA_ROWS, TILE_T), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, TILE_R), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_R), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n_tot), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_tot), jnp.int32),
+        ),
+        interpret=interpret,
+    )(rays, packed.soa)
+
+    best_t = best_t[0, :n]
+    best_slot = best_slot[0, :n]
+    hit = best_t < 1.5
+    point = origins + best_t[:, None] * seg_vecs
+    e1 = packed.slot_e1[best_slot]
+    e2 = packed.slot_e2[best_slot]
+    face_n = normalize(jnp.cross(e1, e2), eps=1e-20)
+    flip = jnp.sum(face_n * seg_vecs, axis=-1) > 0.0
+    normal = jnp.where(flip[:, None], -face_n, face_n)
+    return {
+        "hit": hit,
+        "t": best_t,
+        "point": point,
+        "normal": normal,
+        "mesh_id": jnp.where(hit, packed.slot_mesh_id[best_slot], -1).astype(
+            jnp.int32
+        ),
     }

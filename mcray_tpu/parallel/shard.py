@@ -108,14 +108,14 @@ def _shard_render_body(
         # envelope, then one all_gather of the finished RF for the polar
         # gather of scan conversion (which is fundamentally cross-column)
         rf_conv_local = imaging.convolve_psf_sharded(rf_local, cfg, axis, n_shards)
-        rf_env_local = imaging.envelope(rf_conv_local)
+        rf_env_local = imaging.apply_envelope(rf_conv_local, cfg)
         rf_env = jax.lax.all_gather(rf_env_local, axis, axis=1, tiled=True)
     else:
         # assemble the full RF image on every chip (~1 MB over ICI) and run
         # the dense post-ops replicated
         rf_full = jax.lax.all_gather(rf_local, axis, axis=1, tiled=True)
         rf_conv = imaging.convolve_psf(rf_full, cfg)
-        rf_env = imaging.envelope(rf_conv)
+        rf_env = imaging.apply_envelope(rf_conv, cfg)
     if cfg.log_compression:
         # global max -> needs the gathered image in both branches
         rf_env = imaging.log_compress(rf_env)
@@ -167,7 +167,7 @@ def _shard_render_body_2d(
     # samples axis: pure reduction of partial RF images over ICI
     rf_local = jax.lax.psum(rf_partial, axis_s)
     rf_conv_local = imaging.convolve_psf_sharded(rf_local, cfg, axis_r, n_r)
-    rf_env_local = imaging.envelope(rf_conv_local)
+    rf_env_local = imaging.apply_envelope(rf_conv_local, cfg)
     rf_env = jax.lax.all_gather(rf_env_local, axis_r, axis=1, tiled=True)
     if cfg.log_compression:
         rf_env = imaging.log_compress(rf_env)
@@ -264,6 +264,24 @@ class ShardedRenderer:
             use_pallas = (
                 jax.default_backend() == "tpu" and cfg.texture_mode == "procedural"
             )
+        # large scenes: cluster-culled intersect kernel (same policy as
+        # Simulator), replicated scene per chip, chip-local ray tiles
+        trace_kw: dict = {}
+        if use_pallas and not pallas_interpret:
+            if pack.n_triangles >= 2048:
+                from ..ops.pallas.intersect import pack_tris_culled
+
+                order = pack.bvh.tri_order if pack.bvh is not None else None
+                trace_kw = {
+                    "culled_tris": pack_tris_culled(
+                        pack.tris,
+                        pack.tri_mesh_id,
+                        order,
+                        sort_origin=pack.transducer_position,
+                    )
+                }
+            else:
+                trace_kw = {"use_pallas_intersect": True}
         self.scene = {k: jnp.asarray(v) for k, v in pack.trace_tables().items()}
         self.spacing = jnp.asarray(pack.spacing)
         self.starting_material = jnp.int32(pack.starting_material)
@@ -283,11 +301,7 @@ class ShardedRenderer:
             volume=self.volume,
             scan_maps=self.scan_maps,
             cfg=cfg,
-            trace_kw=(
-                {"use_pallas_intersect": True}
-                if (use_pallas and not pallas_interpret)
-                else {}
-            ),
+            trace_kw=trace_kw,
             axis=axis,
             n_shards=n_dev,
             distributed_imaging=distributed_imaging,

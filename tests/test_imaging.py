@@ -159,3 +159,41 @@ def test_scan_convert_bilinear_and_border():
     np.testing.assert_allclose(out[0, 1], 0.0)  # outside -> cval 0
     np.testing.assert_allclose(out[1, 0], 0.25, rtol=1e-6)
     np.testing.assert_allclose(out[1, 1], 19.0, rtol=1e-6)
+
+
+def test_envelope_hilbert_recovers_modulated_gaussian():
+    """|analytic signal| of a cos-modulated Gaussian is the Gaussian, away
+    from the window edges."""
+    import numpy as np
+    from mcray_tpu.ops.imaging import envelope_hilbert
+
+    rows = 256
+    t = np.arange(rows, dtype=np.float32)
+    env = np.exp(-0.5 * ((t - 128.0) / 12.0) ** 2).astype(np.float32)
+    rf = env * np.cos(2 * np.pi * 0.22 * t).astype(np.float32)
+    out = np.asarray(envelope_hilbert(jnp.asarray(rf[:, None])))[:, 0]
+    core = slice(90, 168)
+    np.testing.assert_allclose(out[core], env[core], atol=0.03)
+
+
+def test_envelope_hilbert_multi_column_and_odd_rows():
+    import numpy as np
+    from mcray_tpu.ops.imaging import envelope_hilbert
+
+    rng = np.random.default_rng(3)
+    rf = rng.standard_normal((129, 7)).astype(np.float32)
+    out = np.asarray(envelope_hilbert(jnp.asarray(rf)))
+    assert out.shape == rf.shape
+    assert np.all(out >= np.abs(rf) - 1e-4)  # envelope bounds the signal
+
+
+def test_render_with_hilbert_envelope(sphere_pack):
+    import dataclasses
+    from mcray_tpu.models.simulator import Simulator
+
+    pack, cfg = sphere_pack
+    cfg_h = dataclasses.replace(cfg, envelope_mode="hilbert")
+    sim = Simulator(pack, cfg_h)
+    out = sim.render_frame(seed=0)
+    b = np.asarray(out["bmode"])
+    assert np.isfinite(b).all() and b.max() > 0
