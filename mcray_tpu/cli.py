@@ -71,6 +71,10 @@ def render_main(argv) -> int:
     p.add_argument("--bug-compat", action="store_true", help="replicate reference material-transition bug")
     p.add_argument("--save-rf", default=None, help="also save the raw RF image (npz)")
     p.add_argument("--platform", default=None, help="force a jax platform (e.g. cpu, tpu)")
+    p.add_argument("--probe", default=None, choices=["convex", "linear", "phased"],
+                   help="probe family (default: convex, the reference's)")
+    p.add_argument("--envelope", default=None, choices=["reference", "hilbert"],
+                   help="envelope detector (default: reference peak-lerp)")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -84,10 +88,17 @@ def render_main(argv) -> int:
         overrides["samples_per_element"] = args.samples
     if args.bug_compat:
         overrides["bug_compat_material_transition"] = True
+    if args.probe:
+        overrides["probe_type"] = args.probe
+    if args.envelope:
+        overrides["envelope_mode"] = args.envelope
     cfg = SimConfig(**overrides)
 
     t0 = time.perf_counter()
-    pack = load_and_compile(args.scene, cfg, with_bvh=args.bvh)
+    # BVH is always built: the while_loop traversal (--bvh) needs it, and the
+    # default cluster-culled TPU kernel uses its depth-first order for
+    # spatially coherent clusters.
+    pack = load_and_compile(args.scene, cfg, with_bvh=True)
     sim = Simulator(pack, cfg, use_bvh=args.bvh, seed=args.seed)
     t_setup = time.perf_counter() - t0
     print(f"scene: {pack.n_triangles} triangles, {pack.n_materials} materials "

@@ -40,7 +40,8 @@ class SimConfig:
     samples_per_element: int = 5            # Monte-Carlo paths per scanline
     transducer_amplitude_deg: float = 60.0  # convex arc aperture
     transducer_radius_cm: float = 3.0       # convex arc radius
-    # probe family: "convex" (the reference's arc array) or "linear"
+    # probe family: "convex" (the reference's arc array), "linear", or
+    # "phased" (small linear aperture, beams steered across the sector)
     # (elements on a line, parallel beams; B-mode needs no polar remap)
     probe_type: str = "convex"
 

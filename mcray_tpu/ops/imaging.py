@@ -258,7 +258,9 @@ def scan_conversion_maps(cfg: SimConfig) -> tuple[np.ndarray, np.ndarray]:
         map_row = np.broadcast_to(i / out_rows * cfg.rf_rows, (out_rows, out_cols))
         map_col = np.broadcast_to(j / out_cols * cfg.rf_cols, (out_rows, out_cols))
         return map_row.astype(np.float32).copy(), map_col.astype(np.float32).copy()
-    radius_mm = cfg.transducer_radius_cm * 10.0
+    # phased probe: the radius->0 limit of the convex sector (all beams fan
+    # from one apex), so the same polar mapping applies with radius 0
+    radius_mm = 0.0 if cfg.probe_type == "phased" else cfg.transducer_radius_cm * 10.0
     total = cfg.transducer_amplitude_rad
     depth_mm = cfg.max_travel_time_us * cfg.speed_of_sound * 0.001
 

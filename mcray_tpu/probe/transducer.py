@@ -28,6 +28,8 @@ def element_layout(
     cfg.probe_type. Returns (positions (N,3), directions (N,3))."""
     if cfg.probe_type == "linear":
         return element_layout_linear(position, angles_deg, cfg)
+    if cfg.probe_type == "phased":
+        return element_layout_phased(position, angles_deg, cfg)
     return element_layout_convex(position, angles_deg, cfg)
 
 
@@ -43,6 +45,30 @@ def element_layout_linear(position: Array, angles_deg: Array, cfg: SimConfig):
     beam = euler_zxy(jnp.array([[0.0, 1.0, 0.0]], jnp.float32), angles_rad)[0]
     positions = jnp.asarray(position, jnp.float32) + offsets[:, None] * lateral
     directions = jnp.broadcast_to(beam, (n, 3))
+    return positions, directions
+
+
+def element_layout_phased(position: Array, angles_deg: Array, cfg: SimConfig):
+    """Phased (sector) array: N elements packed on a small linear aperture at
+    the element pitch, with beam k electronically steered across the probe's
+    sector (cfg.transducer_amplitude_deg). A third probe family the reference
+    lacks; its B-mode is the radius->0 limit of the convex sector, which is
+    exactly what scan_conversion_maps uses for it."""
+    n = cfg.transducer_elements
+    pitch_world = cfg.element_separation_mm / 10.0
+    offsets = (jnp.arange(n, dtype=jnp.float32) - (n - 1) / 2.0) * pitch_world
+    total = cfg.transducer_amplitude_rad
+    steer = (
+        -(total / 2.0)
+        + total * (jnp.arange(n, dtype=jnp.float32) + 0.5) / n
+    )
+    base = jnp.stack(
+        [jnp.sin(steer), jnp.cos(steer), jnp.zeros_like(steer)], axis=-1
+    )
+    angles_rad = jnp.deg2rad(jnp.asarray(angles_deg, jnp.float32))
+    lateral = euler_zxy(jnp.array([[1.0, 0.0, 0.0]], jnp.float32), angles_rad)[0]
+    directions = euler_zxy(base, angles_rad)
+    positions = jnp.asarray(position, jnp.float32) + offsets[:, None] * lateral
     return positions, directions
 
 

@@ -1,4 +1,4 @@
-"""Large-scene scaling benchmark: brute-force Pallas vs packet-BVH traversal.
+"""Large-scene scaling benchmark: brute-force vs cluster-culled Pallas intersect.
 
 Generates synthetic organ scenes at increasing triangle counts and reports
 trace time per frame for both intersection paths. Run on a real TPU:
@@ -47,7 +47,9 @@ def main() -> int:
     p.add_argument("--tris", type=int, nargs="+", default=[20000, 80000])
     p.add_argument("--rays", type=int, default=2560)
     p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--inner", type=int, default=8, help="kernel launches chained inside one jit (amortises dispatch latency)")
     p.add_argument("--interpret", action="store_true", help="CPU interpret mode (correctness only)")
+    p.add_argument("--packet", action="store_true", help="also time the packet-BVH kernel (slow Mosaic compile)")
     p.add_argument("--platform", default=None)
     args = p.parse_args()
 
@@ -59,7 +61,11 @@ def main() -> int:
 
     from mcray_tpu.ops.bvh import build_bvh
     from mcray_tpu.ops.pallas.bvh_packet import bvh_packet_intersect, pack_bvh_for_kernel
-    from mcray_tpu.ops.pallas.intersect import intersect_closest_pallas
+    from mcray_tpu.ops.pallas.intersect import (
+        intersect_closest_culled,
+        intersect_closest_pallas,
+        pack_tris_culled,
+    )
 
     rng = np.random.default_rng(1)
     n = args.rays
@@ -75,23 +81,57 @@ def main() -> int:
         tris_j, mids_j = jnp.asarray(tris), jnp.asarray(mids)
         bvh = build_bvh(tris, leaf_size=4)
         packed = pack_bvh_for_kernel(bvh, tris, mids)
+        culled = pack_tris_culled(tris, mids, bvh.tri_order, sort_origin=origins[0])
 
-        brute = jax.jit(lambda o, s: intersect_closest_pallas(o, s, tris_j, mids_j, interpret=args.interpret)["t"])
-        packet = jax.jit(lambda o, s: bvh_packet_intersect(o, s, packed, interpret=args.interpret)["t"])
+        def inner_batched(intersect):
+            """Chain ``inner`` dependent kernel launches inside ONE jitted
+            program (scan with data dependence, so XLA cannot CSE them) —
+            amortises the per-dispatch latency of the tunneled TPU, which
+            otherwise floors every call at ~25 ms and hides kernel time."""
 
+            def once(o, s):
+                def body(carry, _):
+                    oo = o + carry[:, None] * 1e-7
+                    t = intersect(oo, s)
+                    return t, None
+
+                t, _ = jax.lax.scan(
+                    body, jnp.zeros((o.shape[0],), jnp.float32), None,
+                    length=args.inner,
+                )
+                return t
+
+            return jax.jit(once)
+
+        brute = inner_batched(
+            lambda o, s: intersect_closest_pallas(o, s, tris_j, mids_j, interpret=args.interpret)["t"]
+        )
+        packet = inner_batched(
+            lambda o, s: bvh_packet_intersect(o, s, packed, interpret=args.interpret)["t"]
+        )
+        cull = inner_batched(
+            lambda o, s: intersect_closest_culled(o, s, culled, interpret=args.interpret)["t"]
+        )
+
+        candidates = [("brute", brute), ("culled", cull)]
+        if args.packet:
+            candidates.append(("packet-bvh", packet))
         results = {}
-        for name, fn in [("brute", brute), ("packet-bvh", packet)]:
+        for name, fn in candidates:
             out = jax.block_until_ready(fn(o, s))
             t0 = time.perf_counter()
             for _ in range(args.reps):
                 out2 = jax.block_until_ready(fn(o, s))
-            dt = (time.perf_counter() - t0) / args.reps
+            dt = (time.perf_counter() - t0) / (args.reps * args.inner)
             results[name] = (dt, out2)
-        agree = bool(jnp.allclose(results["brute"][1], results["packet-bvh"][1], rtol=1e-4))
+        agree = all(
+            bool(jnp.allclose(results["brute"][1], r[1], rtol=1e-4))
+            for r in results.values()
+        )
+        parts = ", ".join(f"{n} {r[0]*1e3:.2f} ms" for n, r in results.items())
         print(
-            f"T={t_count}: brute {results['brute'][0]*1e3:.2f} ms, "
-            f"packet-bvh {results['packet-bvh'][0]*1e3:.2f} ms, "
-            f"speedup {results['brute'][0]/results['packet-bvh'][0]:.2f}x, agree={agree}",
+            f"T={t_count}: {parts}, culled speedup "
+            f"{results['brute'][0]/results['culled'][0]:.2f}x, agree={agree}",
             flush=True,
         )
     return 0
