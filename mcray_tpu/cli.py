@@ -56,6 +56,8 @@ def main(argv=None) -> int:
         return fit_main(args[1:])
     if args and args[0] == "sweep":
         return sweep_main(args[1:])
+    if args and args[0] == "serve":
+        return serve_main(args[1:])
     return render_main(args)
 
 
@@ -136,6 +138,93 @@ def render_main(argv) -> int:
             "fps": round(1.0 / steady, 2),
             "rays_per_s": round(sim.rays_per_frame / steady),
         }))
+    return 0
+
+
+def serve_main(argv) -> int:
+    """Interactive render service: the product loop the reference's dead
+    input manager aimed at (move probe -> re-render, reference
+    src/inputmanager.cpp / SURVEY.md §3.4), as a streaming protocol.
+
+    Reads one JSON request per stdin line:
+        {"position": [x,y,z], "angles": [ax,ay,az], "seed": 0, "out": "f.png"}
+    (all fields optional; defaults = scene pose, seed auto-increments) and
+    writes one JSON response line per frame. Dispatch is pipelined: the next
+    request is parsed and dispatched while the previous frame's device work
+    drains (JAX async dispatch), so the stream runs at device throughput,
+    not at round-trip latency."""
+    import sys
+
+    import jax.numpy as jnp
+
+    p = argparse.ArgumentParser(prog="mcray_tpu.cli serve")
+    p.add_argument("scene")
+    p.add_argument("--elements", type=int, default=None)
+    p.add_argument("--samples", type=int, default=None)
+    p.add_argument("--platform", default=None)
+    p.add_argument("--out-prefix", default="serve")
+    args = p.parse_args(argv)
+    if args.platform:
+        _force_platform(args.platform)
+    _enable_compilation_cache()
+
+    overrides = {}
+    if args.elements:
+        overrides["transducer_elements"] = args.elements
+    if args.samples:
+        overrides["samples_per_element"] = args.samples
+    cfg = SimConfig(**overrides)
+
+    pack = load_and_compile(args.scene, cfg)
+    sim = Simulator(pack, cfg)
+    pos0 = np.asarray(pack.transducer_position, np.float32)
+    ang0 = np.asarray(pack.transducer_angles, np.float32)
+
+    # warm the compile so the first streamed frame is steady-state
+    sim.render_frame(seed=0)["bmode"].block_until_ready()
+    print(json.dumps({"ready": True, "triangles": pack.n_triangles}), flush=True)
+
+    pending = None  # (bmode_device_array, out_path, t_dispatch, frame_idx)
+
+    def drain(pending):
+        bmode, path, t0, idx = pending
+        bmode.block_until_ready()
+        save_png(path, np.asarray(bmode))
+        print(
+            json.dumps(
+                {
+                    "frame": idx,
+                    "out": path,
+                    "ms": round((time.perf_counter() - t0) * 1e3, 1),
+                }
+            ),
+            flush=True,
+        )
+
+    idx = 0
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+        except json.JSONDecodeError as e:
+            print(json.dumps({"error": f"bad request: {e}"}), flush=True)
+            continue
+        pos = jnp.asarray(np.asarray(req.get("position", pos0), np.float32))
+        ang = jnp.asarray(np.asarray(req.get("angles", ang0), np.float32))
+        seed = int(req.get("seed", idx))
+        path = req.get("out", f"{args.out_prefix}_{idx:04d}.png")
+        t0 = time.perf_counter()
+        out = sim.render_frame(seed=seed, position=pos, angles=ang)
+        nxt = (out["bmode"], path, t0, idx)
+        # overlap: this frame renders on-device while we write the previous
+        if pending is not None:
+            drain(pending)
+        pending = nxt
+        idx += 1
+    if pending is not None:
+        drain(pending)
     return 0
 
 

@@ -302,6 +302,7 @@ def render(
     cfg: SimConfig,
     use_pallas_march: bool = False,
     use_fused_postproc: bool = False,
+    scan_table: Array | None = None,
     **trace_kw,
 ) -> dict[str, Array]:
     """Full frame: returns bmode (bmode_rows, bmode_cols) plus intermediates."""
@@ -333,7 +334,16 @@ def render(
         rf_env = imaging.apply_envelope(rf_conv, cfg)
     if cfg.log_compression:
         rf_env = imaging.log_compress(rf_env)
-    bmode = imaging.scan_convert(rf_env, scan_maps[0], scan_maps[1])
+    if scan_table is not None:
+        from ..ops.pallas.scanconv import scan_convert_pallas
+
+        # bf16 MXU rounding can dip epsilon-negative; the envelope image is
+        # non-negative by construction, restore that invariant
+        bmode = jnp.maximum(
+            scan_convert_pallas(rf_env, scan_table, cfg.bmode_cols), 0.0
+        )
+    else:
+        bmode = imaging.scan_convert(rf_env, scan_maps[0], scan_maps[1])
     return {
         "bmode": bmode,
         "rf_raw": rf_raw,
@@ -358,6 +368,7 @@ class Simulator:
         use_packet_bvh: bool = False,
         use_fused_postproc: bool | None = None,
         use_culled_intersect: bool | None = None,
+        use_pallas_scanconv: bool | None = None,
     ):
         self.cfg = cfg
         self.pack = pack
@@ -416,6 +427,18 @@ class Simulator:
         self.volume = texture.make_texture_volume(jax.random.PRNGKey(seed ^ 0x5CA77E7), cfg)
         maps = imaging.scan_conversion_maps(cfg)
         self.scan_maps = (jnp.asarray(maps[0]), jnp.asarray(maps[1]))
+        # MXU scan conversion: turns the ~8 ms XLA gather (the largest
+        # pipeline stage on TPU) into one-hot matmuls; default-on with the
+        # other forward-only Pallas kernels
+        if use_pallas_scanconv is None:
+            use_pallas_scanconv = use_pallas_march
+        self.scan_table = None
+        if use_pallas_scanconv:
+            from ..ops.pallas.scanconv import pack_scan_maps
+
+            self.scan_table = jnp.asarray(
+                pack_scan_maps(maps[0], maps[1], cfg.rf_rows, cfg.rf_cols)
+            )
         if self.use_bvh:
             b = pack.bvh
             self.bvh_arrays = (
@@ -442,6 +465,7 @@ class Simulator:
                 cfg,
                 use_pallas_march=self.use_pallas_march,
                 use_fused_postproc=self.use_fused_postproc,
+                scan_table=self.scan_table,
                 use_bvh=self.use_bvh and self.packet_bvh is None,
                 bvh_arrays=self.bvh_arrays,
                 use_pallas_intersect=self.use_pallas_intersect,

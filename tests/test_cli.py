@@ -69,3 +69,28 @@ def test_vtp_converter(tmp_path):
     v, f = _load_obj_py(obj)
     assert v.shape == (4, 3)
     assert f.shape == (2, 3)  # quad fan-triangulated
+
+
+def test_serve_cli(tmp_path, capsys, monkeypatch):
+    """One request per stdin line -> one JSON response + PNG per frame,
+    with pipelined dispatch across frames."""
+    import io
+
+    from mcray_tpu.cli import main
+
+    out0 = str(tmp_path / "s0.png")
+    out1 = str(tmp_path / "s1.png")
+    requests = (
+        json.dumps({"seed": 1, "out": out0})
+        + "\n"
+        + json.dumps({"position": [0.0, -13.0, 0.0], "out": out1})
+        + "\nnot json\n"
+    )
+    monkeypatch.setattr("sys.stdin", io.StringIO(requests))
+    assert main(["serve", SCENE, "--elements", "16", "--samples", "1"]) == 0
+    assert os.path.exists(out0) and os.path.exists(out1)
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert lines[0]["ready"] is True
+    frames = [l for l in lines if "frame" in l]
+    assert [f["out"] for f in frames] == [out0, out1]
+    assert any("error" in l for l in lines)  # bad request reported, not fatal
