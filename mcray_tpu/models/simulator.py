@@ -122,7 +122,13 @@ def trace_paths(
         origin = state["from"] + cfg.ray_start_offset * state["dir"]
         # enlarge(): mm/100 with per-axis spacing (src/scene.cpp:292-298)
         dest = state["from"] + (r_length[:, None] / 100.0) * spacing * state["dir"]
-        seg_vec = dest - origin
+        # dead rays get a zero segment parked far outside every cluster AABB:
+        # they can't hit anything (det==0 -> miss, exactly as before), and a
+        # ray tile whose packet is all-dead now skips every cluster in the
+        # culled kernel instead of slab-hitting with its stale direction
+        alive_col = state["alive"][:, None]
+        seg_vec = (dest - origin) * alive_col
+        origin = jnp.where(alive_col, origin, 1e9)
 
         if packet_bvh is not None:
             from ..ops.pallas.bvh_packet import bvh_packet_intersect
