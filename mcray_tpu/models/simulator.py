@@ -113,8 +113,11 @@ def trace_paths(
         "alive": jnp.ones((n,), bool),
     }
 
-    def bounce(state, depth):
-        kd = jax.vmap(jax.random.fold_in, in_axes=(0, None))(path_keys, depth)
+    # all threefry work batched over (depth, path) in one pass; bitwise
+    # identical to deriving per bounce inside the scan
+    bounce_draws = physics.draw_bounce_randoms(path_keys, cfg.max_depth)
+
+    def bounce(state, draws):
         att = materials[state["media_id"], physics.ATTENUATION]
         r_length = physics.max_ray_length(
             jnp.maximum(state["intensity"], eps * 1e-3), att, freq, eps
@@ -155,11 +158,9 @@ def trace_paths(
 
         # sub-surface penetration fuzz: q ~ |N(0, thickness_inside)|
         # (src/scene.cpp:129-139)
-        ks = physics.split_each(kd, 2)
-        k_q, k_hb = ks[:, 0], ks[:, 1]
         mesh_id_c = jnp.maximum(hits["mesh_id"], 0)
         thick = materials[mesh_in[mesh_id_c], physics.THICKNESS]
-        q = jnp.abs(physics.batched_normal(k_q) * thick)
+        q = jnp.abs(draws["q_normal"] * thick)
         inside_point = hits["point"] + q[:, None] * state["dir"]
 
         dist_mm = distance_in_mm(state["from"], inside_point, spacing)
@@ -169,7 +170,7 @@ def trace_paths(
         )
 
         hb = physics.hit_boundary(
-            k_hb,
+            None,
             state["dir"],
             hits["point"],
             hits["normal"],
@@ -182,6 +183,7 @@ def trace_paths(
             mesh_out,
             mesh_vasc,
             cfg,
+            draws=draws,
         )
 
         miss = state["alive"] & ~hits["hit"]
@@ -212,7 +214,7 @@ def trace_paths(
         }
         return new_state, segment
 
-    _, segments = jax.lax.scan(bounce, state, jnp.arange(cfg.max_depth))
+    _, segments = jax.lax.scan(bounce, state, bounce_draws)
     segments["element"] = jnp.broadcast_to(elem_idx, (cfg.max_depth, n))
     return segments
 

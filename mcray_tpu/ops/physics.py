@@ -121,9 +121,49 @@ def power_cosine_variate_batched(keys: Array, shininess: Array) -> Array:
 def random_unit_vector_batched(keys: Array, v: Array, cos_theta: Array) -> Array:
     """Per-path-keyed variant of random_unit_vector; keys (N,), v (N,3)."""
     ks = split_each(keys, 2)
-    a = batched_uniform(ks[:, 0]) * (2.0 * jnp.pi)
-    r = 0.5 * jnp.sqrt(batched_uniform(ks[:, 1]))
+    return random_unit_vector_from_uniforms(
+        batched_uniform(ks[:, 0]), batched_uniform(ks[:, 1]), v, cos_theta
+    )
+
+
+def random_unit_vector_from_uniforms(u_a: Array, u_r: Array, v: Array, cos_theta: Array) -> Array:
+    """random_unit_vector_batched with the two U(0,1) draws supplied."""
+    a = u_a * (2.0 * jnp.pi)
+    r = 0.5 * jnp.sqrt(u_r)
     return _unit_vector_from_disc(a, r, v, cos_theta)
+
+
+def draw_bounce_randoms(path_keys: Array, n_depth: int) -> dict[str, Array]:
+    """All of one frame's random draws, batched over (depth, path) in one
+    pass instead of per-bounce threefry chains inside the scan. Key
+    derivation chain is IDENTICAL to the per-bounce one
+    (fold_in(path_key, depth) -> split(2) -> q normal / split(3) ->
+    power-cosine u, unit-vector split(2) u's, roulette u), so every draw is
+    bitwise identical to the unhoisted code — threefry is elementwise in the
+    key, batching shape doesn't change the stream."""
+    depths = jnp.arange(n_depth)
+    kd = jax.vmap(
+        lambda d: jax.vmap(jax.random.fold_in, in_axes=(0, None))(path_keys, d)
+    )(depths)  # (D, N) keys
+    n = path_keys.shape[0]
+    # keys may be typed (D, N) or raw uint32 (D, N, 2); flatten depth x path
+    flat = kd.reshape((n_depth * n,) + kd.shape[2:])
+    ks = split_each(flat, 2)
+    q_normal = batched_normal(ks[:, 0])
+    ks2 = split_each(ks[:, 1], 3)
+    angle_u = jnp.maximum(batched_uniform(ks2[:, 0]), 1e-12)
+    rks = split_each(ks2[:, 1], 2)
+    axis_u = batched_uniform(rks[:, 0])
+    radius_u = batched_uniform(rks[:, 1])
+    roulette_u = batched_uniform(ks2[:, 2])
+    shape = (n_depth, n)
+    return {
+        "q_normal": q_normal.reshape(shape),
+        "angle_u": angle_u.reshape(shape),
+        "axis_u": axis_u.reshape(shape),
+        "radius_u": radius_u.reshape(shape),
+        "roulette_u": roulette_u.reshape(shape),
+    }
 
 
 def random_unit_vector(key: Array, v: Array, cos_theta: Array) -> Array:
@@ -216,12 +256,18 @@ def hit_boundary(
     mesh_mat_outside: Array,
     mesh_is_vascular: Array,
     cfg: SimConfig,
+    draws: dict[str, Array] | None = None,
 ):
     """Vectorised boundary interaction (src/ray.cpp:11-97).
 
     Returns dict with back_intensity (N,), and the continued ray's
     new_direction, new_media_id, new_media_outside_id, new_intensity,
     chose_reflection.
+
+    ``draws``: optional pre-drawn randoms for this bounce (one (N,) slice of
+    draw_bounce_randoms) — bitwise identical to drawing from ``keys``, but
+    lets the caller batch all threefry work outside its bounce loop. When
+    given, ``keys`` is unused.
     """
     mesh_id_c = jnp.maximum(mesh_id, 0)  # safe gather for missed rays (masked upstream)
     m_in = mesh_mat_inside[mesh_id_c]
@@ -232,10 +278,19 @@ def hit_boundary(
         media_id, media_outside_id, vascular, m_in, m_out, cfg
     )
 
-    ks = split_each(keys, 3)
     shininess = materials[mat_after, SHININESS]
-    random_angle = power_cosine_variate_batched(ks[:, 0], shininess)
-    random_normal = random_unit_vector_batched(ks[:, 1], surface_normal, random_angle)
+    if draws is None:
+        ks = split_each(keys, 3)
+        random_angle = power_cosine_variate_batched(ks[:, 0], shininess)
+        random_normal = random_unit_vector_batched(
+            ks[:, 1], surface_normal, random_angle
+        )
+    else:
+        exponent = 1.0 / (jnp.floor(shininess) + 1.0)
+        random_angle = jnp.power(draws["angle_u"], exponent)
+        random_normal = random_unit_vector_from_uniforms(
+            draws["axis_u"], draws["radius_u"], surface_normal, random_angle
+        )
 
     # incidence = |d . n| via the reference's flip-if-negative (src/ray.cpp:53-57)
     incidence = jnp.abs(jnp.sum(direction * random_normal, axis=-1))
@@ -269,7 +324,7 @@ def hit_boundary(
     # Russian roulette: continue with ONE of reflection/refraction
     # (src/ray.cpp:85-94). The branch choice is a detached comparison; the
     # chosen branch's intensity stays differentiable.
-    x = batched_uniform(ks[:, 2])
+    x = batched_uniform(ks[:, 2]) if draws is None else draws["roulette_u"]
     safe_int = jnp.maximum(intensity, cfg.intensity_epsilon)
     reflect = (i_refl / safe_int) > x
 
