@@ -59,6 +59,29 @@ def main() -> int:
     dt = (time.perf_counter() - t0) / (reps * batch)
 
     rays_per_s = sim.rays_per_frame / dt
+
+    # large-scene row: the shipped ~123k-triangle anatomical HD phantom
+    # (assets/ircad11_hd, VERDICT r1 item 4) through the staged two-level
+    # intersect kernel
+    hd_extra = {}
+    try:
+        pack_hd = load_and_compile("assets/ircad11_hd/santi-liver-hd.scene", cfg)
+        sim_hd = Simulator(pack_hd, cfg)
+        b = sim_hd.render_batch(range(batch))
+        b.block_until_ready()
+        t0 = time.perf_counter()
+        for i in range(2):
+            b = sim_hd.render_batch(range(i, i + batch))
+        b.block_until_ready()
+        dt_hd = (time.perf_counter() - t0) / (2 * batch)
+        hd_extra = {
+            "ircad_hd_triangles": pack_hd.n_triangles,
+            "ircad_hd_rays_per_s": round(sim_hd.rays_per_frame / dt_hd),
+            "ircad_hd_frame_ms": round(dt_hd * 1e3, 2),
+        }
+    except Exception as e:  # bench must still emit its line
+        hd_extra = {"ircad_hd_error": str(e)[:200]}
+
     result = {
         "metric": "rays_per_s_per_chip_sphere",
         "value": round(rays_per_s),
@@ -73,6 +96,7 @@ def main() -> int:
             "elements": cfg.transducer_elements,
             "samples": cfg.samples_per_element,
             "baseline": "single-host CPU proxy (BASELINE.md)",
+            **hd_extra,
         },
     }
     print(json.dumps(result))

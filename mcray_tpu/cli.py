@@ -19,6 +19,9 @@ import time
 import numpy as np
 
 from .config import SimConfig
+from .models.simulator import Simulator
+from .scene.compile import load_and_compile
+from .utils.image_io import save_png
 
 
 def _force_platform(name: str) -> None:
@@ -43,9 +46,6 @@ def _enable_compilation_cache() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass  # cache is an optimisation only
-from .models.simulator import Simulator
-from .scene.compile import load_and_compile
-from .utils.image_io import save_png
 
 
 def main(argv=None) -> int:
@@ -208,15 +208,15 @@ def serve_main(argv) -> int:
             continue
         try:
             req = json.loads(line)
-        except json.JSONDecodeError as e:
+            pos = jnp.asarray(np.asarray(req.get("position", pos0), np.float32).reshape(3))
+            ang = jnp.asarray(np.asarray(req.get("angles", ang0), np.float32).reshape(3))
+            seed = int(req.get("seed", idx))
+            path = str(req.get("out", f"{args.out_prefix}_{idx:04d}.png"))
+            t0 = time.perf_counter()
+            out = sim.render_frame(seed=seed, position=pos, angles=ang)
+        except Exception as e:  # malformed fields must not kill the stream
             print(json.dumps({"error": f"bad request: {e}"}), flush=True)
             continue
-        pos = jnp.asarray(np.asarray(req.get("position", pos0), np.float32))
-        ang = jnp.asarray(np.asarray(req.get("angles", ang0), np.float32))
-        seed = int(req.get("seed", idx))
-        path = req.get("out", f"{args.out_prefix}_{idx:04d}.png")
-        t0 = time.perf_counter()
-        out = sim.render_frame(seed=seed, position=pos, angles=ang)
         nxt = (out["bmode"], path, t0, idx)
         # overlap: this frame renders on-device while we write the previous
         if pending is not None:
@@ -307,6 +307,9 @@ def fit_main(argv) -> int:
     p.add_argument("--platform", default=None)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-pallas", action="store_true",
+                   help="force the jnp pipeline instead of the Pallas kernels")
     args = p.parse_args(argv)
     if args.platform:
         _force_platform(args.platform)
@@ -325,7 +328,9 @@ def fit_main(argv) -> int:
     col = cols[args.param]
 
     pack = load_and_compile(args.scene, cfg)
-    sim = Simulator(pack, cfg, use_pallas_march=False)
+    # Pallas kernels carry custom VJPs, so the fit runs on the fast path by
+    # default on TPU (use --no-pallas to compare against the jnp pipeline)
+    sim = Simulator(pack, cfg, use_pallas_march=False if args.no_pallas else None)
 
     def render(key, materials):
         out = sim._render(
@@ -335,7 +340,7 @@ def fit_main(argv) -> int:
         )
         return out["bmode"]
 
-    key = jax.random.PRNGKey(args.seed if hasattr(args, "seed") else 0)
+    key = jax.random.PRNGKey(args.seed)
     true_val = float(pack.materials[row, col])
     target = render(key, jnp.asarray(pack.materials))
 

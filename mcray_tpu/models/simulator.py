@@ -123,8 +123,15 @@ def trace_paths(
             jnp.maximum(state["intensity"], eps * 1e-3), att, freq, eps
         )
         origin = state["from"] + cfg.ray_start_offset * state["dir"]
-        # enlarge(): mm/100 with per-axis spacing (src/scene.cpp:292-298)
-        dest = state["from"] + (r_length[:, None] / 100.0) * spacing * state["dir"]
+        # enlarge(): mm/100 with per-axis spacing (src/scene.cpp:292-298).
+        # r_length is detached: it only sets the ray's REACH (a discrete
+        # hit/no-hit decision) — the hit point is invariant to the segment
+        # scale (t compensates exactly), so its analytic gradient is zero,
+        # but computing it in f32 is a catastrophic cancellation of huge
+        # log(eps/I)/att^2 terms that amplifies float noise ~1e7x into the
+        # material gradients. Detaching removes the noise channel only.
+        r_len_ng = jax.lax.stop_gradient(r_length)
+        dest = state["from"] + (r_len_ng[:, None] / 100.0) * spacing * state["dir"]
         # dead rays get a zero segment parked far outside every cluster AABB:
         # they can't hit anything (det==0 -> miss, exactly as before), and a
         # ray tile whose packet is all-dead now skips every cluster in the
@@ -138,9 +145,15 @@ def trace_paths(
 
             hits = bvh_packet_intersect(origin, seg_vec, packet_bvh)
         elif culled_tris is not None:
-            from ..ops.pallas.intersect import intersect_closest_culled
+            packed, staged = culled_tris
+            if staged:
+                from ..ops.pallas.intersect import intersect_closest_staged
 
-            hits = intersect_closest_culled(origin, seg_vec, culled_tris)
+                hits = intersect_closest_staged(origin, seg_vec, packed)
+            else:
+                from ..ops.pallas.intersect import intersect_closest_culled
+
+                hits = intersect_closest_culled(origin, seg_vec, packed)
         elif use_bvh and bvh_arrays is not None:
             nodes, meta, order = bvh_arrays
             hits = bvh_intersect_closest(
@@ -332,7 +345,7 @@ def render(
         rf_raw = march_and_accumulate_pallas(segments, materials, volume, cfg)
     else:
         rf_raw = march_and_accumulate(segments, materials, volume, cfg)
-    if use_fused_postproc and cfg.envelope_mode == "reference":
+    if use_fused_postproc and cfg.envelope_mode == "reference" and not cfg.centered_psf:
         from ..ops.pallas.postproc import convolve_envelope_pallas
 
         rf_env = convolve_envelope_pallas(rf_raw, cfg)
@@ -377,13 +390,17 @@ class Simulator:
         use_fused_postproc: bool | None = None,
         use_culled_intersect: bool | None = None,
         use_pallas_scanconv: bool | None = None,
+        use_staged_intersect: bool | None = None,
     ):
         self.cfg = cfg
         self.pack = pack
         self.use_bvh = use_bvh and pack.bvh is not None
         if use_pallas_march is None:
             # default: the Pallas kernels on real TPUs, the jnp paths
-            # elsewhere (CPU tests, differentiation)
+            # elsewhere (CPU tests). All kernels carry custom VJPs (march,
+            # fused postproc, MXU scan conversion) or are gradient-transparent
+            # (intersect returns the discrete winner; t recomputed in jnp),
+            # so the differentiable fit runs on the fast path too.
             use_pallas_march = (
                 jax.default_backend() == "tpu" and cfg.texture_mode == "procedural"
             )
@@ -400,9 +417,12 @@ class Simulator:
         # per-ray while_loop BVH does not even compile on the remote-compile
         # TPU backend, so this is the scalable path.
         if use_culled_intersect is None:
+            # an explicit use_bvh=True (CLI --bvh) keeps the requested
+            # while-loop BVH path instead of being silently replaced
             use_culled_intersect = (
                 jax.default_backend() == "tpu"
                 and not use_packet_bvh
+                and not self.use_bvh
                 and pack.n_triangles >= 2048
             )
         self.culled_tris = None
@@ -410,12 +430,18 @@ class Simulator:
             from ..ops.pallas.intersect import pack_tris_culled
 
             order = pack.bvh.tri_order if pack.bvh is not None else None
-            self.culled_tris = pack_tris_culled(
+            packed = pack_tris_culled(
                 pack.tris,
                 pack.tri_mesh_id,
                 order,
                 sort_origin=pack.transducer_position,
             )
+            # staged (two-level, DMA-on-demand) kernel: default for large
+            # scenes, where skipping whole-cluster HBM streams dominates;
+            # the streaming culled kernel stays available behind the flag
+            if use_staged_intersect is None:
+                use_staged_intersect = pack.n_triangles >= 8192
+            self.culled_tris = (packed, bool(use_staged_intersect))
             self.use_bvh = False
             self.use_pallas_intersect = False
         # packet-BVH path: explicit opt-in (interpret-verified; compiled TPU
@@ -437,7 +463,7 @@ class Simulator:
         self.scan_maps = (jnp.asarray(maps[0]), jnp.asarray(maps[1]))
         # MXU scan conversion: turns the ~8 ms XLA gather (the largest
         # pipeline stage on TPU) into one-hot matmuls; default-on with the
-        # other forward-only Pallas kernels
+        # other Pallas kernels (differentiable via its transpose kernel)
         if use_pallas_scanconv is None:
             use_pallas_scanconv = use_pallas_march
         self.scan_table = None

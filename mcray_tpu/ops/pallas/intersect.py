@@ -10,6 +10,15 @@ tile once: the (tri x ray) Moller-Trumbore grid never leaves VMEM.
 Same hit contract as the jnp path (Bullet both-sided semantics, t in (0,1));
 the final hit point / oriented normal / mesh id are gathered per-ray outside
 the kernel from the winning triangle index.
+
+Differentiability: the kernel only makes the DISCRETE choice (which triangle
+wins, did anything hit) — piecewise-constant in the inputs, so its inputs are
+wrapped in stop_gradient and AD never enters the kernel. The hit parameter t
+is then recomputed in plain jnp from the winning triangle by the same
+Moller-Trumbore formula, which reproduces the jnp brute-force path's
+gradients (whose argmin-gather also routes cotangents through the winner
+only). Geometry gradients w.r.t. ray origin/direction — hence materials (via
+ray length) and probe pose — flow through intersection for free.
 """
 
 from __future__ import annotations
@@ -23,7 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..geometry import NO_HIT_T, normalize
+from ..geometry import NO_HIT_T, _moller_trumbore, normalize
 
 TILE_R = 128   # rays per tile (lanes)
 TILE_T = 256   # triangles per tile (sublanes)
@@ -129,11 +138,15 @@ def intersect_closest_pallas(
             jax.ShapeDtypeStruct((1, n_tot), jnp.int32),
         ),
         interpret=interpret,
-    )(rays, tri_soa)
+    )(jax.lax.stop_gradient(rays), jax.lax.stop_gradient(tri_soa))
 
-    best_t = best_t[0, :n]
+    hit = best_t[0, :n] < 1.5
     best_idx = jnp.minimum(best_idx[0, :n], t_count - 1)
-    hit = best_t < 1.5
+    # differentiable t of the kernel-chosen winner (see module docstring)
+    t_diff, _ = _moller_trumbore(
+        origins, seg_vecs, v0[best_idx], e1[best_idx], e2[best_idx], eps=eps
+    )
+    best_t = jnp.where(hit, t_diff, NO_HIT_T)
     point = origins + best_t[:, None] * seg_vecs
     face_n = normalize(jnp.cross(e1[best_idx], e2[best_idx]), eps=1e-20)
     flip = jnp.sum(face_n * seg_vecs, axis=-1) > 0.0
@@ -164,15 +177,26 @@ def intersect_closest_pallas(
 SOA_ROWS = 16  # v0.xyz e1.xyz e2.xyz (9) + cluster AABB (6) + 1 pad row
 
 
+SUPER_G = 8  # clusters per super-cluster (two-level AABB pruning)
+
+
 @dataclasses.dataclass
 class CulledTris:
-    """Host-packed triangle clusters for intersect_closest_culled."""
+    """Host-packed triangle clusters for intersect_closest_culled /
+    intersect_closest_staged."""
 
     soa: jax.Array        # (SOA_ROWS, C*TILE_T) f32
     slot_mesh_id: jax.Array  # (C*TILE_T,) i32, -1 for padding slots
+    slot_v0: jax.Array    # (C*TILE_T, 3) f32 for differentiable t recompute
     slot_e1: jax.Array    # (C*TILE_T, 3) f32 for normal reconstruction
     slot_e2: jax.Array    # (C*TILE_T, 3) f32
     n_slots: int
+    # staged (HBM-resident) layout for the two-level kernel
+    hbm_tris: jax.Array   # (n_clusters, 16, TILE_T) f32: rows 0-8 v0/e1/e2
+    aabb_cluster: jax.Array  # (n_clusters, 8) f32 [min xyz, max xyz, 0, 0]
+    aabb_super: jax.Array    # (n_super, 8) f32, over SUPER_G clusters each
+    n_clusters: int
+    n_super: int
 
 
 def pack_tris_culled(
@@ -233,17 +257,248 @@ def pack_tris_culled(
 
     slot_mid = np.full((n_tot,), -1, np.int32)
     slot_mid[:t] = mid_o
+    slot_v0 = np.zeros((n_tot, 3), np.float32)
     slot_e1 = np.zeros((n_tot, 3), np.float32)
     slot_e2 = np.zeros((n_tot, 3), np.float32)
+    slot_v0[:t] = v0
     slot_e1[:t] = e1
     slot_e2[:t] = e2
+
+    # --- staged (HBM-resident) layout for the two-level kernel ------------
+    # pad the cluster count to a SUPER_G multiple; padding clusters carry an
+    # empty AABB (min=+inf > max=-inf) so both levels always cull them
+    n_clusters = n_tot // TILE_T
+    n_clusters_pad = ((n_clusters + SUPER_G - 1) // SUPER_G) * SUPER_G
+    n_super = n_clusters_pad // SUPER_G
+    hbm = np.zeros((n_clusters_pad, 16, TILE_T), np.float32)
+    hbm[:n_clusters, 0:9] = (
+        soa[0:9].reshape(9, n_clusters, TILE_T).transpose(1, 0, 2)
+    )
+    aabb_c = np.zeros((n_clusters_pad, 8), np.float32)
+    aabb_c[:, 0:3] = np.inf
+    aabb_c[:, 3:6] = -np.inf
+    for c in range(0, t, TILE_T):
+        chunk = tris_o[c : c + TILE_T].reshape(-1, 3)
+        ci = c // TILE_T
+        aabb_c[ci, 0:3] = chunk.min(axis=0)
+        aabb_c[ci, 3:6] = chunk.max(axis=0)
+    aabb_s = np.zeros((n_super, 8), np.float32)
+    grouped = aabb_c.reshape(n_super, SUPER_G, 8)
+    aabb_s[:, 0:3] = grouped[:, :, 0:3].min(axis=1)
+    aabb_s[:, 3:6] = grouped[:, :, 3:6].max(axis=1)
+
     return CulledTris(
         soa=jnp.asarray(soa),
         slot_mesh_id=jnp.asarray(slot_mid),
+        slot_v0=jnp.asarray(slot_v0),
         slot_e1=jnp.asarray(slot_e1),
         slot_e2=jnp.asarray(slot_e2),
         n_slots=n_tot,
+        hbm_tris=jnp.asarray(hbm),
+        aabb_cluster=jnp.asarray(aabb_c),
+        aabb_super=jnp.asarray(aabb_s),
+        n_clusters=n_clusters_pad,
+        n_super=n_super,
     )
+
+
+def _intersect_staged_kernel(
+    aabb_s_ref,   # (n_super, 8) SMEM
+    aabb_c_ref,   # (n_clusters, 8) SMEM
+    rays_ref,     # (6, TILE_R) VMEM
+    tris_hbm,     # (n_clusters, 16, TILE_T) ANY/HBM — DMA'd on demand
+    t_ref, idx_ref,          # (1, TILE_R) VMEM outputs
+    scratch, sem,            # VMEM (16, TILE_T) + DMA semaphore
+    *,
+    n_super: int,
+    eps: float,
+):
+    """Two-level staged intersection: triangles stay in HBM; each ray packet
+    slab-tests super-cluster and cluster AABBs (scalars from SMEM) and only
+    DMAs + Moller-Trumbores the clusters whose box beats some ray's running
+    closest hit. HBM traffic and compute scale with the surviving-cluster
+    count instead of the scene size — the static-shape analogue of ordered
+    BVH descent (replaces Bullet's rayTest, reference src/scene.cpp:115-117)."""
+    t_ref[:] = jnp.full_like(t_ref, NO_HIT_T)
+    idx_ref[:] = jnp.zeros_like(idx_ref)
+
+    ox = rays_ref[0, :].reshape(1, TILE_R)
+    oy = rays_ref[1, :].reshape(1, TILE_R)
+    oz = rays_ref[2, :].reshape(1, TILE_R)
+    sx = rays_ref[3, :].reshape(1, TILE_R)
+    sy = rays_ref[4, :].reshape(1, TILE_R)
+    sz = rays_ref[5, :].reshape(1, TILE_R)
+
+    big = jnp.float32(1e30)
+
+    def inv(c):
+        ok = jnp.abs(c) > 1e-30
+        return jnp.where(ok, 1.0 / jnp.where(ok, c, 1.0), big)
+
+    ix_, iy_, iz_ = inv(sx), inv(sy), inv(sz)
+
+    def packet_hits_box(aabb_ref, i):
+        bminx, bminy, bminz = aabb_ref[i, 0], aabb_ref[i, 1], aabb_ref[i, 2]
+        bmaxx, bmaxy, bmaxz = aabb_ref[i, 3], aabb_ref[i, 4], aabb_ref[i, 5]
+        tx0 = (bminx - ox) * ix_
+        tx1 = (bmaxx - ox) * ix_
+        ty0 = (bminy - oy) * iy_
+        ty1 = (bmaxy - oy) * iy_
+        tz0 = (bminz - oz) * iz_
+        tz1 = (bmaxz - oz) * iz_
+        enter = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1),
+        )
+        leave = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1),
+        )
+        active = (enter <= leave) & (leave > 0.0) & (
+            enter < jnp.minimum(t_ref[:], 1.0)
+        )
+        return jnp.any(active)
+
+    def super_body(s, _):
+        @pl.when(packet_hits_box(aabb_s_ref, s))
+        def _():
+            def cluster_body(g, _):
+                c = s * SUPER_G + g
+
+                @pl.when(packet_hits_box(aabb_c_ref, c))
+                def _():
+                    dma = pltpu.make_async_copy(tris_hbm.at[c], scratch, sem)
+                    dma.start()
+                    dma.wait()
+
+                    def trow(f):
+                        return scratch[f, :].reshape(TILE_T, 1)
+
+                    v0x, v0y, v0z = trow(0), trow(1), trow(2)
+                    e1x, e1y, e1z = trow(3), trow(4), trow(5)
+                    e2x, e2y, e2z = trow(6), trow(7), trow(8)
+
+                    px = sy * e2z - sz * e2y
+                    py = sz * e2x - sx * e2z
+                    pz = sx * e2y - sy * e2x
+                    det = e1x * px + e1y * py + e1z * pz
+                    det_ok = jnp.abs(det) > eps
+                    inv_det = jnp.where(
+                        det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0
+                    )
+
+                    tx = ox - v0x
+                    ty = oy - v0y
+                    tz = oz - v0z
+                    u = (tx * px + ty * py + tz * pz) * inv_det
+                    qx = ty * e1z - tz * e1y
+                    qy = tz * e1x - tx * e1z
+                    qz = tx * e1y - ty * e1x
+                    v = (sx * qx + sy * qy + sz * qz) * inv_det
+                    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+
+                    valid = (
+                        det_ok
+                        & (u >= 0.0)
+                        & (v >= 0.0)
+                        & (u + v <= 1.0)
+                        & (t > 0.0)
+                        & (t < 1.0)
+                    )
+                    t = jnp.where(valid, t, NO_HIT_T)
+
+                    tmin = jnp.min(t, axis=0, keepdims=True)
+                    targ = jnp.argmin(t, axis=0).reshape(1, TILE_R)
+
+                    better = tmin < t_ref[:]
+                    t_ref[:] = jnp.where(better, tmin, t_ref[:])
+                    idx_ref[:] = jnp.where(
+                        better, c * TILE_T + targ, idx_ref[:]
+                    )
+
+                return 0
+
+            jax.lax.fori_loop(0, SUPER_G, cluster_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_super, super_body, 0)
+
+
+def intersect_closest_staged(
+    origins: jax.Array,   # (N, 3)
+    seg_vecs: jax.Array,  # (N, 3)
+    packed: CulledTris,
+    *,
+    interpret: bool = False,
+    eps: float = 1e-9,
+):
+    """Closest hit via the two-level staged kernel; same contract (and the
+    same gradient transparency) as intersect_closest_culled."""
+    n = origins.shape[0]
+    n_pad = (-n) % TILE_R
+    rays = jnp.concatenate([origins, seg_vecs], axis=1).T
+    if n_pad:
+        rays = jnp.pad(rays, ((0, 0), (0, n_pad)))
+    n_tot = n + n_pad
+
+    kernel = functools.partial(
+        _intersect_staged_kernel, n_super=packed.n_super, eps=eps
+    )
+    best_t, best_slot = pl.pallas_call(
+        kernel,
+        grid=(n_tot // TILE_R,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((6, TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n_tot), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_tot), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((16, TILE_T), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(
+        jax.lax.stop_gradient(packed.aabb_super),
+        jax.lax.stop_gradient(packed.aabb_cluster),
+        jax.lax.stop_gradient(rays),
+        jax.lax.stop_gradient(packed.hbm_tris),
+    )
+
+    hit = best_t[0, :n] < 1.5
+    best_slot = jnp.minimum(best_slot[0, :n], packed.n_slots - 1)
+    t_diff, _ = _moller_trumbore(
+        origins,
+        seg_vecs,
+        packed.slot_v0[best_slot],
+        packed.slot_e1[best_slot],
+        packed.slot_e2[best_slot],
+        eps=eps,
+    )
+    best_t = jnp.where(hit, t_diff, NO_HIT_T)
+    point = origins + best_t[:, None] * seg_vecs
+    e1 = packed.slot_e1[best_slot]
+    e2 = packed.slot_e2[best_slot]
+    face_n = normalize(jnp.cross(e1, e2), eps=1e-20)
+    flip = jnp.sum(face_n * seg_vecs, axis=-1) > 0.0
+    normal = jnp.where(flip[:, None], -face_n, face_n)
+    return {
+        "hit": hit,
+        "t": best_t,
+        "point": point,
+        "normal": normal,
+        "mesh_id": jnp.where(hit, packed.slot_mesh_id[best_slot], -1).astype(
+            jnp.int32
+        ),
+    }
 
 
 def _intersect_culled_kernel(rays_ref, tris_ref, t_ref, idx_ref, *, eps: float):
@@ -365,11 +620,20 @@ def intersect_closest_culled(
             jax.ShapeDtypeStruct((1, n_tot), jnp.int32),
         ),
         interpret=interpret,
-    )(rays, packed.soa)
+    )(jax.lax.stop_gradient(rays), jax.lax.stop_gradient(packed.soa))
 
-    best_t = best_t[0, :n]
+    hit = best_t[0, :n] < 1.5
     best_slot = best_slot[0, :n]
-    hit = best_t < 1.5
+    # differentiable t of the kernel-chosen winner (see module docstring)
+    t_diff, _ = _moller_trumbore(
+        origins,
+        seg_vecs,
+        packed.slot_v0[best_slot],
+        packed.slot_e1[best_slot],
+        packed.slot_e2[best_slot],
+        eps=eps,
+    )
+    best_t = jnp.where(hit, t_diff, NO_HIT_T)
     point = origins + best_t[:, None] * seg_vecs
     e1 = packed.slot_e1[best_slot]
     e2 = packed.slot_e2[best_slot]

@@ -1,4 +1,5 @@
-"""Pallas TPU kernel: output-stationary segment march + RF accumulation.
+"""Pallas TPU kernel: output-stationary segment march + RF accumulation,
+with a custom VJP so the differentiable fit runs on the kernel too.
 
 The jnp path (simulator.march_and_accumulate) is scatter-based: 12M
 (segment, step) samples scatter-add into the (465, 512) RF image — measured
@@ -20,12 +21,25 @@ procedurally (texture.procedural_fields, bit-identical hash).
 Float candidates are verified with the *exact forward formula* the jnp path
 uses (floor(t_k / rdt) == r), so kernel and jnp outputs agree to float
 associativity.
+
+Differentiation (the reverse of the reference pipeline at
+src/main.cpp:106-149): the op carries a custom_vjp whose backward pass is a
+second Pallas kernel with the SAME loop structure — for each (segment,
+column-tile) it recomputes the matched rows and scattering terms, multiplies
+by the incoming RF cotangent and row-reduces, yielding the gradient of every
+segment SoA field in one forward-cost pass (pure rematerialisation, no
+saved intermediates). Gradients then flow through ``pack_segments`` (plain
+jnp) into the material table, the traced segments, and — in trilinear
+texture mode — the sample positions, hence the probe pose. Supported
+texture modes mirror ``texture.get_scattering`` exactly: nearest/trilinear x
+hard/soft-sigmoid gate (procedural field only).
 """
 
 from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -33,7 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...config import SimConfig
 
-# Segment SoA field indices (layout (F, SD, C))
+# Segment SoA field indices (layout (SD, F, C))
 F_FROM_X, F_FROM_Y, F_FROM_Z, F_DIR_X, F_DIR_Y, F_DIR_Z, F_T0, F_STEPS, \
     F_LN_ATT, F_I0, F_MU0, F_MU1, F_SIGMA, F_B_ROW, F_B_VAL, F_VALID = range(16)
 N_FIELDS = 16
@@ -52,15 +66,140 @@ def _hash_i32(x):
     return x
 
 
-def _march_kernel(seeds_ref, seg_ref, out_ref, *, cfg: SimConfig, n_rows_pad: int):
+def _voxel_fields(ix, iy, iz, seed0, seed1, size):
+    """(noise, prob) ~ iid N(0,1) for integer voxel indices — the in-kernel
+    twin of texture.procedural_fields (hash + Box-Muller, bit-identical)."""
+    vid = (ix * size + iy) * size + iz
+    b1 = _hash_i32(vid ^ seed0)
+    b2 = _hash_i32(vid ^ seed1)
+    u1 = (jax.lax.shift_right_logical(b1, 8).astype(jnp.float32) + 0.5) * (
+        1.0 / 16777216.0
+    )
+    u2 = (jax.lax.shift_right_logical(b2, 8).astype(jnp.float32) + 0.5) * (
+        1.0 / 16777216.0
+    )
+    r_bm = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta = (2.0 * jnp.pi) * u2
+    return r_bm * jnp.cos(theta), r_bm * jnp.sin(theta)
+
+
+def _scat_eval(px, py, pz, mu0, mu1, sigma, seed0, seed1, cfg: SimConfig,
+               want_grads: bool):
+    """Scattering amplitude at world points (formula-identical to
+    texture.get_scattering in procedural mode), plus — when ``want_grads`` —
+    its partial derivatives w.r.t. mu0, mu1, sigma and the point coordinates.
+
+    Returns dict with ``scat`` and (if want_grads) ``d_mu0, d_mu1, d_sigma,
+    d_px, d_py, d_pz`` (position partials are zero in nearest mode — floor
+    and C-cast truncation have zero derivative a.e., matching jnp AD).
+    """
     res = cfg.resolution_um / 1000.0
     size = cfg.volume_size
-    axres = cfg.axial_resolution_mm
+
+    if cfg.trilinear_texture:
+        def prep(x):
+            f = x / res - 0.5
+            i0 = jnp.floor(f).astype(jnp.int32)
+            return i0, f - jnp.floor(f)
+
+        i0x, wx = prep(px)
+        i0y, wy = prep(py)
+        i0z, wz = prep(pz)
+        noise = jnp.zeros_like(px)
+        prob = jnp.zeros_like(px)
+        dn_dw = [jnp.zeros_like(px) for _ in range(3)] if want_grads else None
+        dp_dw = [jnp.zeros_like(px) for _ in range(3)] if want_grads else None
+        for ox in (0, 1):
+            for oy in (0, 1):
+                for oz in (0, 1):
+                    def wrap(i0, off):
+                        return jnp.mod(jnp.mod(i0 + off, size) + size, size)
+
+                    n_t, p_t = _voxel_fields(
+                        wrap(i0x, ox), wrap(i0y, oy), wrap(i0z, oz),
+                        seed0, seed1, size,
+                    )
+                    wfx = wx if ox else 1.0 - wx
+                    wfy = wy if oy else 1.0 - wy
+                    wfz = wz if oz else 1.0 - wz
+                    noise = noise + n_t * (wfx * wfy * wfz)
+                    prob = prob + p_t * (wfx * wfy * wfz)
+                    if want_grads:
+                        sx = 1.0 if ox else -1.0
+                        sy = 1.0 if oy else -1.0
+                        sz = 1.0 if oz else -1.0
+                        dn_dw[0] += n_t * sx * wfy * wfz
+                        dn_dw[1] += n_t * sy * wfx * wfz
+                        dn_dw[2] += n_t * sz * wfx * wfy
+                        dp_dw[0] += p_t * sx * wfy * wfz
+                        dp_dw[1] += p_t * sy * wfx * wfz
+                        dp_dw[2] += p_t * sz * wfx * wfy
+    else:
+        def wrap(x):
+            q = jnp.trunc(x / res).astype(jnp.int32)
+            return jnp.mod(jnp.mod(q, size) + size, size)
+
+        noise, prob = _voxel_fields(
+            wrap(px), wrap(py), wrap(pz), seed0, seed1, size
+        )
+
+    value = noise * sigma + mu0
+    if cfg.soft_scattering:
+        gate = jax.nn.sigmoid((prob - mu1) / cfg.soft_scattering_tau)
+        dgate_dprob = gate * (1.0 - gate) / cfg.soft_scattering_tau
+    else:
+        gate = (prob >= mu1).astype(jnp.float32)
+        dgate_dprob = None
+    out = {"scat": value * gate}
+    if not want_grads:
+        return out
+
+    out["d_mu0"] = gate
+    out["d_sigma"] = noise * gate
+    out["d_mu1"] = -value * dgate_dprob if dgate_dprob is not None else jnp.zeros_like(px)
+    if cfg.trilinear_texture:
+        d_noise = sigma * gate
+        d_prob = value * dgate_dprob if dgate_dprob is not None else 0.0
+        for axis, name in enumerate(("d_px", "d_py", "d_pz")):
+            g = d_noise * dn_dw[axis]
+            if dgate_dprob is not None:
+                g = g + d_prob * dp_dw[axis]
+            out[name] = g / res
+    else:
+        zero = jnp.zeros_like(px)
+        out["d_px"] = out["d_py"] = out["d_pz"] = zero
+    return out
+
+
+def _match_rows(rows_f, t0, steps, valid, row_ok, cfg: SimConfig):
+    """Which march step (if any) of this segment lands in each output row —
+    the exact inverse of the jnp path's floor(t_k/rdt) binning. Returns
+    (matched mask, selected k) with matched implying a unique k per row."""
     dt = cfg.march_dt_us
     rdt = cfg.rf_row_dt_us
     t_window = float(cfg.max_travel_time_us)
     inv_a = rdt / dt
-    sd = seg_ref.shape[1]
+
+    k_guess = jnp.floor((rows_f - t0 / rdt) * inv_a)
+    k_sel = jnp.zeros_like(rows_f)
+    matched = jnp.zeros_like(rows_f, dtype=jnp.bool_)
+    for cand in (-1.0, 0.0, 1.0, 2.0):
+        k = k_guess + cand
+        t_k = t0 + k * dt
+        hit = (
+            (jnp.floor(t_k / rdt) == rows_f)
+            & (k >= 0.0)
+            & (k < steps)
+            & (t_k < t_window)
+        )
+        k_sel = jnp.where(hit, k, k_sel)
+        matched = matched | hit
+    return matched & valid & row_ok, k_sel
+
+
+def _march_kernel(seeds_ref, seg_ref, out_ref, *, cfg: SimConfig, n_rows_pad: int):
+    axres = cfg.axial_resolution_mm
+    sd = seg_ref.shape[0]
 
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (n_rows_pad, TILE_C), 0)
     rows_f = rows_i.astype(jnp.float32)
@@ -70,31 +209,13 @@ def _march_kernel(seeds_ref, seg_ref, out_ref, *, cfg: SimConfig, n_rows_pad: in
     seed1 = seeds_ref[0, 1]
 
     def field(seg_i, f):
-        return seg_ref[f, seg_i, :].reshape(1, TILE_C)
+        return seg_ref[seg_i, f, :].reshape(1, TILE_C)
 
     def body(seg_i, acc):
         t0 = field(seg_i, F_T0)
         steps = field(seg_i, F_STEPS)
         valid = field(seg_i, F_VALID) > 0.5
-
-        # candidate march step for this output row: k ~ (r - t0/rdt) * rdt/dt,
-        # verified below with the exact forward binning formula
-        k_guess = jnp.floor((rows_f - t0 / rdt) * inv_a)
-
-        k_sel = jnp.zeros_like(rows_f)
-        matched = jnp.zeros_like(rows_f, dtype=jnp.bool_)
-        for cand in (-1.0, 0.0, 1.0, 2.0):
-            k = k_guess + cand
-            t_k = t0 + k * dt
-            hit = (
-                (jnp.floor(t_k / rdt) == rows_f)
-                & (k >= 0.0)
-                & (k < steps)
-                & (t_k < t_window)
-            )
-            k_sel = jnp.where(hit, k, k_sel)
-            matched = matched | hit
-        matched = matched & valid & row_ok
+        matched, k_sel = _match_rows(rows_f, t0, steps, valid, row_ok, cfg)
 
         # sample point along the segment (world units; reference treats the
         # mm-valued axial step as world units, src/main.cpp:117)
@@ -103,29 +224,11 @@ def _march_kernel(seeds_ref, seg_ref, out_ref, *, cfg: SimConfig, n_rows_pad: in
         py = field(seg_i, F_FROM_Y) + scale * field(seg_i, F_DIR_Y)
         pz = field(seg_i, F_FROM_Z) + scale * field(seg_i, F_DIR_Z)
 
-        def wrap(x):
-            q = jnp.trunc(x / res).astype(jnp.int32)
-            return jnp.mod(jnp.mod(q, size) + size, size)
-
-        ix, iy, iz = wrap(px), wrap(py), wrap(pz)
-        vid = (ix * size + iy) * size + iz
-        b1 = _hash_i32(vid ^ seed0)
-        b2 = _hash_i32(vid ^ seed1)
-        u1 = (jax.lax.shift_right_logical(b1, 8).astype(jnp.float32) + 0.5) * (
-            1.0 / 16777216.0
-        )
-        u2 = (jax.lax.shift_right_logical(b2, 8).astype(jnp.float32) + 0.5) * (
-            1.0 / 16777216.0
-        )
-        r_bm = jnp.sqrt(-2.0 * jnp.log(u1))
-        theta = (2.0 * jnp.pi) * u2
-        noise = r_bm * jnp.cos(theta)
-        prob = r_bm * jnp.sin(theta)
-
-        mu1 = field(seg_i, F_MU1)
-        scat = jnp.where(
-            prob >= mu1, noise * field(seg_i, F_SIGMA) + field(seg_i, F_MU0), 0.0
-        )
+        scat = _scat_eval(
+            px, py, pz,
+            field(seg_i, F_MU0), field(seg_i, F_MU1), field(seg_i, F_SIGMA),
+            seed0, seed1, cfg, want_grads=False,
+        )["scat"]
         intens = field(seg_i, F_I0) * jnp.exp(field(seg_i, F_LN_ATT) * k_sel)
         acc = acc + jnp.where(matched, intens * scat, 0.0)
 
@@ -140,11 +243,86 @@ def _march_kernel(seeds_ref, seg_ref, out_ref, *, cfg: SimConfig, n_rows_pad: in
     out_ref[:] = acc
 
 
+def _march_bwd_kernel(seeds_ref, seg_ref, g_ref, gout_ref, *, cfg: SimConfig,
+                      n_rows_pad: int):
+    """Backward kernel: one program per (column-tile, segment). Recomputes
+    the forward terms for its segment, multiplies by the RF cotangent and
+    row-reduces into the per-field segment gradients."""
+    axres = cfg.axial_resolution_mm
+
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (n_rows_pad, TILE_C), 0)
+    rows_f = rows_i.astype(jnp.float32)
+    row_ok = rows_i < cfg.rf_rows
+
+    seed0 = seeds_ref[0, 0]
+    seed1 = seeds_ref[0, 1]
+
+    def field(f):
+        return seg_ref[0, f, :].reshape(1, TILE_C)
+
+    t0 = field(F_T0)
+    steps = field(F_STEPS)
+    valid = field(F_VALID) > 0.5
+    matched, k_sel = _match_rows(rows_f, t0, steps, valid, row_ok, cfg)
+
+    scale = k_sel * axres
+    dx, dy, dz = field(F_DIR_X), field(F_DIR_Y), field(F_DIR_Z)
+    px = field(F_FROM_X) + scale * dx
+    py = field(F_FROM_Y) + scale * dy
+    pz = field(F_FROM_Z) + scale * dz
+
+    s = _scat_eval(
+        px, py, pz, field(F_MU0), field(F_MU1), field(F_SIGMA),
+        seed0, seed1, cfg, want_grads=True,
+    )
+    lnatt = field(F_LN_ATT)
+    decay = jnp.exp(lnatt * k_sel)
+    intens = field(F_I0) * decay
+
+    g = g_ref[:]
+    gm = jnp.where(matched, g, 0.0)
+
+    def rsum(x):
+        return jnp.sum(x, axis=0, keepdims=True)  # (1, TILE_C)
+
+    gi = gm * intens  # cotangent routed through intens*scat
+    g_i0 = rsum(gm * decay * s["scat"])
+    g_lnatt = rsum(gi * k_sel * s["scat"])
+    g_mu0 = rsum(gi * s["d_mu0"])
+    g_mu1 = rsum(gi * s["d_mu1"])
+    g_sigma = rsum(gi * s["d_sigma"])
+    gpx = gi * s["d_px"]
+    gpy = gi * s["d_py"]
+    gpz = gi * s["d_pz"]
+    g_fx, g_fy, g_fz = rsum(gpx), rsum(gpy), rsum(gpz)
+    g_dx = rsum(gpx * scale)
+    g_dy = rsum(gpy * scale)
+    g_dz = rsum(gpz * scale)
+    b_row = field(F_B_ROW)
+    g_bval = rsum(jnp.where((rows_f == b_row) & row_ok, g, 0.0))
+
+    zero = jnp.zeros((1, TILE_C), jnp.float32)
+    per_field = [zero] * N_FIELDS
+    per_field[F_FROM_X], per_field[F_FROM_Y], per_field[F_FROM_Z] = g_fx, g_fy, g_fz
+    per_field[F_DIR_X], per_field[F_DIR_Y], per_field[F_DIR_Z] = g_dx, g_dy, g_dz
+    per_field[F_LN_ATT] = g_lnatt
+    per_field[F_I0] = g_i0
+    per_field[F_MU0] = g_mu0
+    per_field[F_MU1] = g_mu1
+    per_field[F_SIGMA] = g_sigma
+    per_field[F_B_VAL] = g_bval
+    gout_ref[:] = jnp.concatenate(
+        [x.reshape(1, 1, TILE_C) for x in per_field], axis=1
+    )
+
+
 def pack_segments(segments, materials, cfg: SimConfig, n_cols: int):
-    """Regroup the (D, N) segment tensor into the kernel's (F, SD, C) SoA.
+    """Regroup the (D, N) segment tensor into the kernel's (SD, F, C) SoA.
 
     Paths are ordered column-major (path = c * S + s), so columns are a
     reshape away. Pads C up to a TILE_C multiple with invalid columns.
+    Plain differentiable jnp: the custom-VJP boundary sits below this, so
+    material/segment gradients flow through here by ordinary AD.
     """
     from ...models.simulator import segment_march_quantities
 
@@ -179,11 +357,81 @@ def pack_segments(segments, materials, cfg: SimConfig, n_cols: int):
         segments["valid"].astype(jnp.float32),
     ]
     soa = jnp.stack([per_col(f) for f in fields], axis=0)  # (F, C, SD)
-    soa = soa.transpose(0, 2, 1)  # (F, SD, C)
+    soa = soa.transpose(2, 0, 1)  # (SD, F, C)
     pad = (-c) % TILE_C
     if pad:
         soa = jnp.pad(soa, ((0, 0), (0, 0), (0, pad)))
     return soa
+
+
+@functools.lru_cache(maxsize=None)
+def _march_op(cfg: SimConfig, interpret: bool):
+    """custom_vjp'd (soa, seeds) -> padded RF image for a given config."""
+    n_rows_pad = ((cfg.rf_rows + 7) // 8) * 8
+
+    def fwd_call(soa, seeds):
+        sd, c_pad = soa.shape[0], soa.shape[2]
+        kernel = functools.partial(_march_kernel, cfg=cfg, n_rows_pad=n_rows_pad)
+        return pl.pallas_call(
+            kernel,
+            grid=(c_pad // TILE_C,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (sd, N_FIELDS, TILE_C),
+                    lambda i: (0, 0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (n_rows_pad, TILE_C), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n_rows_pad, c_pad), jnp.float32),
+            interpret=interpret,
+        )(seeds, soa)
+
+    def bwd_call(soa, seeds, g):
+        sd, c_pad = soa.shape[0], soa.shape[2]
+        kernel = functools.partial(
+            _march_bwd_kernel, cfg=cfg, n_rows_pad=n_rows_pad
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(c_pad // TILE_C, sd),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (1, N_FIELDS, TILE_C),
+                    lambda i, s: (s, 0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (n_rows_pad, TILE_C), lambda i, s: (0, i), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, N_FIELDS, TILE_C), lambda i, s: (s, 0, i), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((sd, N_FIELDS, c_pad), jnp.float32),
+            interpret=interpret,
+        )(seeds, soa, g)
+
+    @jax.custom_vjp
+    def op(soa, seeds):
+        return fwd_call(soa, seeds)
+
+    def op_fwd(soa, seeds):
+        return fwd_call(soa, seeds), (soa, seeds)
+
+    def op_bwd(res, g):
+        soa, seeds = res
+        return (
+            bwd_call(soa, seeds, g),
+            np.zeros(seeds.shape, jax.dtypes.float0),  # int seeds: no tangent
+        )
+
+    op.defvjp(op_fwd, op_bwd)
+    return op
 
 
 def march_and_accumulate_pallas(
@@ -196,32 +444,12 @@ def march_and_accumulate_pallas(
     interpret: bool = False,
 ):
     """Drop-in replacement for simulator.march_and_accumulate (procedural
-    texture mode only). Returns the (rf_rows, n_cols) RF image."""
+    texture mode only). Returns the (rf_rows, n_cols) RF image.
+    Differentiable: carries a custom VJP (see module docstring)."""
     if "seeds" not in volume:
         raise ValueError("pallas march requires texture_mode='procedural'")
     c = n_cols or cfg.rf_cols
     soa = pack_segments(segments, materials, cfg, c)
-    c_pad = soa.shape[2]
-    sd = soa.shape[1]
-    n_rows_pad = ((cfg.rf_rows + 7) // 8) * 8
     seeds = volume["seeds"].astype(jnp.int32).reshape(1, 2)
-
-    kernel = functools.partial(_march_kernel, cfg=cfg, n_rows_pad=n_rows_pad)
-    out = pl.pallas_call(
-        kernel,
-        grid=(c_pad // TILE_C,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (N_FIELDS, sd, TILE_C),
-                lambda i: (0, 0, i),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (n_rows_pad, TILE_C), lambda i: (0, i), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_rows_pad, c_pad), jnp.float32),
-        interpret=interpret,
-    )(seeds, soa)
+    out = _march_op(cfg, interpret)(soa, seeds)
     return out[: cfg.rf_rows, :c]

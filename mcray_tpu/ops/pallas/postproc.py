@@ -131,21 +131,54 @@ def _postproc_kernel(rf_ref, out_ref, *, ax, lat, rows: int, cols: int, rows_pad
     out_ref[:] = jnp.where(has_next, lerped, x)
 
 
-def convolve_envelope_pallas(rf: jax.Array, cfg: SimConfig, *, interpret: bool = False):
-    """Fused reference-exact convolution + envelope. rf: (rf_rows, C)."""
-    rows, cols = rf.shape
+@functools.lru_cache(maxsize=None)
+def _postproc_op(cfg: SimConfig, rows: int, cols: int, interpret: bool):
+    """custom_vjp'd fused conv+envelope for fixed (cfg, shape).
+
+    Forward: the Pallas kernel. Backward: VJP of the jnp composition
+    (imaging.convolve_psf + imaging.envelope), which computes the same
+    function (allclose-tested) — a rematerialising backward, so the fused
+    kernel needs no saved intermediates and stays usable under jax.grad."""
+    from .. import imaging
+
     rows_pad = ((rows + 7) // 8) * 8
-    rf_p = jnp.pad(rf, ((0, rows_pad - rows), (0, 0)))
     ax = tuple(float(v) for v in psf_mod.axial_kernel_np(cfg))
     lat = tuple(float(v) for v in psf_mod.lateral_kernel_np(cfg))
-    kernel = functools.partial(
-        _postproc_kernel, ax=ax, lat=lat, rows=rows, cols=cols, rows_pad=rows_pad
-    )
-    out = pl.pallas_call(
-        kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows_pad, cols), jnp.float32),
-        interpret=interpret,
-    )(rf_p)
-    return out[:rows]
+
+    def fwd_call(rf):
+        rf_p = jnp.pad(rf, ((0, rows_pad - rows), (0, 0)))
+        kernel = functools.partial(
+            _postproc_kernel, ax=ax, lat=lat, rows=rows, cols=cols, rows_pad=rows_pad
+        )
+        out = pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rows_pad, cols), jnp.float32),
+            interpret=interpret,
+        )(rf_p)
+        return out[:rows]
+
+    def jnp_ref(rf):
+        return imaging.envelope(imaging.convolve_psf(rf, cfg))
+
+    @jax.custom_vjp
+    def op(rf):
+        return fwd_call(rf)
+
+    def op_fwd(rf):
+        return fwd_call(rf), rf
+
+    def op_bwd(rf, g):
+        _, vjp = jax.vjp(jnp_ref, rf)
+        return (vjp(g)[0],)
+
+    op.defvjp(op_fwd, op_bwd)
+    return op
+
+
+def convolve_envelope_pallas(rf: jax.Array, cfg: SimConfig, *, interpret: bool = False):
+    """Fused reference-exact convolution + envelope. rf: (rf_rows, C).
+    Differentiable via a custom VJP (see _postproc_op)."""
+    rows, cols = rf.shape
+    return _postproc_op(cfg, rows, cols, interpret)(rf)

@@ -20,8 +20,11 @@ vs ~8 ms of serialized gathers. Each output is the same 4-term sum as
 map_coordinates; with precision="highest" it is f32-exact, at the default
 MXU precision the operands round to bf16 (error below PNG quantization).
 
-Forward-only (like the other Pallas kernels); the differentiable path stays
-imaging.scan_convert.
+Differentiable: the remap is LINEAR in the RF image, so the custom VJP is
+the transposed interpolation — rf_grad[r, c] = sum_ij rhot_i[r,j] *
+chot_i[c,j] * g[i,j] — computed by a mirror kernel as one (r_pad, w_pad) @
+(w_pad, c_pad) MXU pass per output row, accumulated across the grid. Same
+cost as the forward; gradients match imaging.scan_convert's VJP.
 """
 
 from __future__ import annotations
@@ -113,6 +116,131 @@ def _scanconv_kernel(
     out_ref[:] = jnp.concatenate(rows, axis=0)
 
 
+def _scanconv_bwd_kernel(
+    maps_ref, g_ref, out_ref, *, r_pad: int, c_pad: int, w_pad: int, precision
+):
+    """Transpose of _scanconv_kernel: accumulate rhot @ (chot * g)^T into the
+    RF-image cotangent across the output-row grid."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (r_pad, w_pad), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (c_pad, w_pad), 0)
+    acc = jnp.zeros((r_pad, c_pad), jnp.float32)
+    for k in range(TILE_I):
+        r0 = maps_ref[k, 0, :].reshape(1, w_pad).astype(jnp.int32)
+        w_r0 = maps_ref[k, 1, :].reshape(1, w_pad)
+        w_r1 = maps_ref[k, 2, :].reshape(1, w_pad)
+        c0 = maps_ref[k, 3, :].reshape(1, w_pad).astype(jnp.int32)
+        w_c0 = maps_ref[k, 4, :].reshape(1, w_pad)
+        w_c1 = maps_ref[k, 5, :].reshape(1, w_pad)
+        gk = g_ref[k, :].reshape(1, w_pad)
+
+        rhot = jnp.where(iota_r == r0, w_r0, 0.0) + jnp.where(
+            iota_r == r0 + 1, w_r1, 0.0
+        )
+        cg = (
+            jnp.where(iota_c == c0, w_c0, 0.0)
+            + jnp.where(iota_c == c0 + 1, w_c1, 0.0)
+        ) * gk
+        acc = acc + jax.lax.dot_general(
+            rhot, cg,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )  # (r_pad, c_pad)
+    out_ref[:] += acc
+
+
+@functools.lru_cache(maxsize=None)
+def _scanconv_op(out_cols: int, interpret: bool, precision_str: str):
+    precision = jax.lax.Precision(precision_str)
+
+    def fwd_call(rf, table):
+        rf_rows, rf_cols = rf.shape
+        out_rows = table.shape[0]
+        w_pad = table.shape[2]
+        r_pad = _round_up(rf_rows, 8)
+        c_pad = _round_up(rf_cols, 8)
+        rft = jnp.zeros((c_pad, r_pad), rf.dtype).at[:rf_cols, :rf_rows].set(rf.T)
+
+        rows_pad = _round_up(out_rows, TILE_I)
+        if rows_pad != table.shape[0]:
+            table = jnp.pad(table, ((0, rows_pad - out_rows), (0, 0), (0, 0)))
+
+        kernel = functools.partial(
+            _scanconv_kernel,
+            r_pad=r_pad, c_pad=c_pad, w_pad=w_pad, precision=precision,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(rows_pad // TILE_I,),
+            in_specs=[
+                pl.BlockSpec(
+                    (TILE_I, 8, w_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((c_pad, r_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (TILE_I, w_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((rows_pad, w_pad), jnp.float32),
+            interpret=interpret,
+        )(table, rft)
+        return out[:out_rows, :out_cols]
+
+    def bwd_call(table, g, rf_shape):
+        rf_rows, rf_cols = rf_shape
+        out_rows = table.shape[0]
+        w_pad = table.shape[2]
+        r_pad = _round_up(rf_rows, 8)
+        c_pad = _round_up(rf_cols, 8)
+        rows_pad = _round_up(out_rows, TILE_I)
+        if rows_pad != table.shape[0]:
+            table = jnp.pad(table, ((0, rows_pad - out_rows), (0, 0), (0, 0)))
+        g_p = jnp.zeros((rows_pad, w_pad), jnp.float32).at[
+            :out_rows, :out_cols
+        ].set(g)
+
+        kernel = functools.partial(
+            _scanconv_bwd_kernel,
+            r_pad=r_pad, c_pad=c_pad, w_pad=w_pad, precision=precision,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(rows_pad // TILE_I,),
+            in_specs=[
+                pl.BlockSpec(
+                    (TILE_I, 8, w_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((TILE_I, w_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (r_pad, c_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((r_pad, c_pad), jnp.float32),
+            interpret=interpret,
+        )(table, g_p)
+        return out[:rf_rows, :rf_cols]
+
+    @jax.custom_vjp
+    def op(rf, table):
+        return fwd_call(rf, table)
+
+    def op_fwd(rf, table):
+        return fwd_call(rf, table), (rf, table)
+
+    def op_bwd(res, g):
+        rf, table = res
+        return bwd_call(table, g, rf.shape), jnp.zeros_like(table)
+
+    op.defvjp(op_fwd, op_bwd)
+    return op
+
+
 def scan_convert_pallas(
     rf: jax.Array,
     table: jax.Array,  # (out_rows, 8, w_pad) from pack_scan_maps
@@ -122,42 +250,10 @@ def scan_convert_pallas(
     precision: str = "default",
 ):
     """Bilinear polar->Cartesian remap, MXU formulation. Same contract as
-    imaging.scan_convert for maps produced by scan_conversion_maps.
+    imaging.scan_convert for maps produced by scan_conversion_maps, and
+    differentiable in ``rf`` via the transposed-interpolation kernel.
 
     precision="highest" is f32-exact (bf16x3 MXU passes, ~3x MXU time);
     "default" rounds operands to bf16 — relative error <= 2^-9 ~ 0.2%,
     below the 8-bit PNG quantization step of the final B-mode."""
-    rf_rows, rf_cols = rf.shape
-    out_rows = table.shape[0]
-    w_pad = table.shape[2]
-    r_pad = _round_up(rf_rows, 8)
-    c_pad = _round_up(rf_cols, 8)
-    rft = jnp.zeros((c_pad, r_pad), rf.dtype).at[:rf_cols, :rf_rows].set(rf.T)
-
-    rows_pad = _round_up(out_rows, TILE_I)
-    if rows_pad != table.shape[0]:
-        table = jnp.pad(table, ((0, rows_pad - out_rows), (0, 0), (0, 0)))
-
-    kernel = functools.partial(
-        _scanconv_kernel,
-        r_pad=r_pad,
-        c_pad=c_pad,
-        w_pad=w_pad,
-        precision=jax.lax.Precision(precision),
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid=(rows_pad // TILE_I,),
-        in_specs=[
-            pl.BlockSpec(
-                (TILE_I, 8, w_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((c_pad, r_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (TILE_I, w_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((rows_pad, w_pad), jnp.float32),
-        interpret=interpret,
-    )(table, rft)
-    return out[:out_rows, :out_cols]
+    return _scanconv_op(out_cols, interpret, precision)(rf, table)

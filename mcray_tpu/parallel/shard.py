@@ -273,11 +273,14 @@ class ShardedRenderer:
 
                 order = pack.bvh.tri_order if pack.bvh is not None else None
                 trace_kw = {
-                    "culled_tris": pack_tris_culled(
-                        pack.tris,
-                        pack.tri_mesh_id,
-                        order,
-                        sort_origin=pack.transducer_position,
+                    "culled_tris": (
+                        pack_tris_culled(
+                            pack.tris,
+                            pack.tri_mesh_id,
+                            order,
+                            sort_origin=pack.transducer_position,
+                        ),
+                        pack.n_triangles >= 8192,  # staged for large scenes
                     )
                 }
             else:

@@ -49,14 +49,18 @@ def element_layout_linear(position: Array, angles_deg: Array, cfg: SimConfig):
 
 
 def element_layout_phased(position: Array, angles_deg: Array, cfg: SimConfig):
-    """Phased (sector) array: N elements packed on a small linear aperture at
-    the element pitch, with beam k electronically steered across the probe's
-    sector (cfg.transducer_amplitude_deg). A third probe family the reference
-    lacks; its B-mode is the radius->0 limit of the convex sector, which is
-    exactly what scan_conversion_maps uses for it."""
+    """Phased (sector) array: beam k electronically steered across the
+    probe's sector (cfg.transducer_amplitude_deg). A third probe family the
+    reference lacks; its B-mode is the radius->0 limit of the convex sector,
+    which is exactly what scan_conversion_maps uses for it.
+
+    All beams are emitted from the probe position (the sector apex): the
+    radius->0 scan-conversion model assumes a single apex, so tracing from
+    laterally offset element positions would misregister targets in the
+    B-mode, worst in the near field (advisor finding r1). The physical
+    aperture's lateral extent (a few mm at lambda/2 pitch) is below the
+    lateral PSF width the pipeline applies anyway."""
     n = cfg.transducer_elements
-    pitch_world = cfg.element_separation_mm / 10.0
-    offsets = (jnp.arange(n, dtype=jnp.float32) - (n - 1) / 2.0) * pitch_world
     total = cfg.transducer_amplitude_rad
     steer = (
         -(total / 2.0)
@@ -66,9 +70,10 @@ def element_layout_phased(position: Array, angles_deg: Array, cfg: SimConfig):
         [jnp.sin(steer), jnp.cos(steer), jnp.zeros_like(steer)], axis=-1
     )
     angles_rad = jnp.deg2rad(jnp.asarray(angles_deg, jnp.float32))
-    lateral = euler_zxy(jnp.array([[1.0, 0.0, 0.0]], jnp.float32), angles_rad)[0]
     directions = euler_zxy(base, angles_rad)
-    positions = jnp.asarray(position, jnp.float32) + offsets[:, None] * lateral
+    positions = jnp.broadcast_to(
+        jnp.asarray(position, jnp.float32), (n, 3)
+    )
     return positions, directions
 
 

@@ -119,6 +119,9 @@ def load_and_compile(scene_path: str, cfg: SimConfig | None = None, **kw) -> Sce
     if missing:
         if {"BOX.obj", "SPHERE.obj"} & set(missing):
             primitives.ensure_assets(asset_dir)
+        elif "hd" in os.path.basename(os.path.normpath(asset_dir)):
+            # high-poly (~125k tris) phantom set for *_hd scenes
+            primitives.ensure_ircad_hd_assets(asset_dir)
         else:
             primitives.ensure_ircad_assets(asset_dir)
     return compile_scene(spec, cfg, asset_dir=asset_dir, **kw)

@@ -43,6 +43,14 @@ def load_fit_state(path: str, template_state):
     n = int(data["n_opt_leaves"])
     leaves = [jnp.asarray(data[f"opt_{i}"]) for i in range(n)]
     _, treedef = jax.tree_util.tree_flatten(template_state.opt_state)
+    stored = bytes(data["treedef"]).decode()
+    if stored != str(treedef) or n != treedef.num_leaves:
+        raise ValueError(
+            f"checkpoint optimiser state does not match the template "
+            f"(stored {n} leaves, {stored[:80]}...; template "
+            f"{treedef.num_leaves} leaves) — was it saved with a different "
+            f"optimiser?"
+        )
     opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
     return FitState(
         materials=jnp.asarray(data["materials"]),

@@ -1,4 +1,5 @@
-"""Large-scene scaling benchmark: brute-force vs cluster-culled Pallas intersect.
+"""Large-scene scaling benchmark: brute-force vs cluster-culled vs two-level
+staged (HBM-resident, DMA-on-demand) Pallas intersect.
 
 Generates synthetic organ scenes at increasing triangle counts and reports
 trace time per frame for both intersection paths. Run on a real TPU:
@@ -64,6 +65,7 @@ def main() -> int:
     from mcray_tpu.ops.pallas.intersect import (
         intersect_closest_culled,
         intersect_closest_pallas,
+        intersect_closest_staged,
         pack_tris_culled,
     )
 
@@ -112,8 +114,11 @@ def main() -> int:
         cull = inner_batched(
             lambda o, s: intersect_closest_culled(o, s, culled, interpret=args.interpret)["t"]
         )
+        staged = inner_batched(
+            lambda o, s: intersect_closest_staged(o, s, culled, interpret=args.interpret)["t"]
+        )
 
-        candidates = [("brute", brute), ("culled", cull)]
+        candidates = [("brute", brute), ("culled", cull), ("staged", staged)]
         if args.packet:
             candidates.append(("packet-bvh", packet))
         results = {}
@@ -130,8 +135,8 @@ def main() -> int:
         )
         parts = ", ".join(f"{n} {r[0]*1e3:.2f} ms" for n, r in results.items())
         print(
-            f"T={t_count}: {parts}, culled speedup "
-            f"{results['brute'][0]/results['culled'][0]:.2f}x, agree={agree}",
+            f"T={t_count}: {parts}, culled {results['brute'][0]/results['culled'][0]:.2f}x, "
+            f"staged {results['brute'][0]/results['staged'][0]:.2f}x, agree={agree}",
             flush=True,
         )
     return 0

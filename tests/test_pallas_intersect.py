@@ -67,6 +67,64 @@ def test_culled_intersect_matches_jnp(rng):
     )
 
 
+def test_staged_intersect_matches_jnp(rng):
+    from mcray_tpu.ops.bvh import build_bvh
+    from mcray_tpu.ops.pallas.intersect import (
+        intersect_closest_staged,
+        pack_tris_culled,
+    )
+
+    tris, mid = _random_scene(rng, 700)
+    bvh = build_bvh(np.asarray(tris))
+    packed = pack_tris_culled(np.asarray(tris), np.asarray(mid), bvh.tri_order)
+    n = 150
+    o = jnp.asarray(rng.uniform(-6, 6, (n, 3)), jnp.float32)
+    seg = jnp.asarray(rng.standard_normal((n, 3)) * 8, jnp.float32)
+    a = intersect_closest(o, seg, tris, mid)
+    b = intersect_closest_staged(o, seg, packed, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a["hit"]), np.asarray(b["hit"]))
+    np.testing.assert_allclose(np.asarray(a["t"]), np.asarray(b["t"]), rtol=1e-5, atol=1e-7)
+    hit = np.asarray(a["hit"])
+    np.testing.assert_array_equal(
+        np.asarray(a["mesh_id"])[hit], np.asarray(b["mesh_id"])[hit]
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["normal"])[hit], np.asarray(b["normal"])[hit], atol=1e-5
+    )
+
+
+def test_staged_intersect_coherent_fan(rng):
+    from mcray_tpu.ops.bvh import build_bvh
+    from mcray_tpu.ops.pallas.intersect import (
+        intersect_closest_staged,
+        pack_tris_culled,
+    )
+    from mcray_tpu.scene.primitives import ellipsoid_mesh
+
+    parts = []
+    mids = []
+    for k, r in enumerate([2.0, 4.0, 6.0]):
+        v, f = ellipsoid_mesh(radii=(r, r, r), center=(0, 0, 0), n_theta=24, n_phi=48)
+        parts.append(v[f])
+        mids.append(np.full((f.shape[0],), k, np.int32))
+    tris = np.concatenate(parts).astype(np.float32)
+    mid = np.concatenate(mids)
+    bvh = build_bvh(tris)
+    packed = pack_tris_culled(tris, mid, bvh.tri_order)
+
+    n = 256
+    theta = np.linspace(-0.5, 0.5, n)
+    o = jnp.asarray(np.tile([[0.0, -10.0, 0.0]], (n, 1)), jnp.float32)
+    seg = jnp.asarray(
+        np.stack([np.sin(theta) * 25, np.cos(theta) * 25, np.zeros(n)], -1),
+        jnp.float32,
+    )
+    a = intersect_closest(o, seg, jnp.asarray(tris), jnp.asarray(mid))
+    b = intersect_closest_staged(o, seg, packed, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a["hit"]), np.asarray(b["hit"]))
+    np.testing.assert_allclose(np.asarray(a["t"]), np.asarray(b["t"]), rtol=1e-5, atol=1e-7)
+
+
 def test_culled_intersect_coherent_fan(rng):
     """Convex-fan primary rays (the real workload) against nested shells."""
     from mcray_tpu.ops.bvh import build_bvh
