@@ -6,8 +6,11 @@ rayTest workload upper bound, reference src/scene.cpp:75-117).
 
 Baseline: the reference publishes no numbers (BASELINE.md) and its C++ cannot
 be built in this image (Bullet/OpenCV dev libs absent), so vs_baseline is
-computed against a recorded single-host CPU proxy measurement of this same
-workload (see BASELINE.md "measured baselines").
+computed against a MEASURED single-threaded C++ re-implementation of the
+reference's full frame algorithm on this host (native/ref_baseline.cpp,
+driven by scripts/ref_baseline_bench.py — same scene, probe layout, PSF and
+scan maps; BVH built once at init like the reference; see BASELINE.md
+"measured baselines" for methodology). This replaces round 1's Python proxy.
 """
 
 from __future__ import annotations
@@ -16,8 +19,11 @@ import json
 import sys
 import time
 
-# Measured on this image's 2-core host CPU (steady-state, sphere scene,
-# scaled from 64x2 to rays/s): see BASELINE.md.
+# Measured single-thread C++ reference-algorithm baseline on this host
+# (scripts/ref_baseline_bench.py --frames 5): sphere 512x5x10 @ 30.4 ms/frame.
+CPP_BASELINE_RAYS_PER_S = 842_794.0
+CPP_BASELINE_HD_RAYS_PER_S = 580_027.0
+# round-1 Python-on-2-core proxy, kept for continuity
 CPU_PROXY_RAYS_PER_S = 28_700.0
 
 
@@ -78,6 +84,9 @@ def main() -> int:
             "ircad_hd_triangles": pack_hd.n_triangles,
             "ircad_hd_rays_per_s": round(sim_hd.rays_per_frame / dt_hd),
             "ircad_hd_frame_ms": round(dt_hd * 1e3, 2),
+            "ircad_hd_vs_cpp_baseline": round(
+                sim_hd.rays_per_frame / dt_hd / CPP_BASELINE_HD_RAYS_PER_S, 2
+            ),
         }
     except Exception as e:  # bench must still emit its line
         hd_extra = {"ircad_hd_error": str(e)[:200]}
@@ -86,7 +95,7 @@ def main() -> int:
         "metric": "rays_per_s_per_chip_sphere",
         "value": round(rays_per_s),
         "unit": "ray-casts/s",
-        "vs_baseline": round(rays_per_s / CPU_PROXY_RAYS_PER_S, 2),
+        "vs_baseline": round(rays_per_s / CPP_BASELINE_RAYS_PER_S, 2),
         "extra": {
             "frames_per_s": round(1.0 / dt, 3),
             "frame_ms": round(dt * 1e3, 2),
@@ -95,7 +104,9 @@ def main() -> int:
             "device": str(jax.devices()[0]),
             "elements": cfg.transducer_elements,
             "samples": cfg.samples_per_element,
-            "baseline": "single-host CPU proxy (BASELINE.md)",
+            "baseline": "single-thread C++ reference algorithm on this host "
+            "(native/ref_baseline.cpp, BASELINE.md)",
+            "vs_python_proxy_r1": round(rays_per_s / CPU_PROXY_RAYS_PER_S, 2),
             **hd_extra,
         },
     }
