@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -49,8 +50,6 @@ def _enable_compilation_cache() -> None:
 
 
 def main(argv=None) -> int:
-    import sys
-
     args = list(sys.argv[1:] if argv is None else argv)
     if args and args[0] == "fit":
         return fit_main(args[1:])
@@ -153,8 +152,6 @@ def serve_main(argv) -> int:
     request is parsed and dispatched while the previous frame's device work
     drains (JAX async dispatch), so the stream runs at device throughput,
     not at round-trip latency."""
-    import sys
-
     import jax.numpy as jnp
 
     p = argparse.ArgumentParser(prog="mcray_tpu.cli serve")

@@ -144,6 +144,61 @@ def convolve_psf_sharded(rf_local: Array, cfg: SimConfig, axis: str, n_shards: i
     return jnp.where(write, conv_lat, rf_local)
 
 
+def convolve_psf_rows_sharded(rf_local: Array, cfg: SimConfig, axis: str, n_shards: int) -> Array:
+    """Time-row-sharded reference convolution inside ``shard_map``.
+
+    The depth/time axis is the third long axis of the problem (SURVEY.md §2.3
+    long axis (b): ~465 rows at 4.5 MHz, grows with depth x frequency). When
+    the RF image is sharded over rows instead of scanline columns, the
+    AXIAL pass is the cross-shard one: the reference's forward-shifted 7-tap
+    kernel reads rows [r, r+a) (src/rfimage.h:102-104), so each shard fetches
+    an (a-1, C) halo from the shard below it with ``ppermute`` over ICI. The
+    lateral pass and the write-window masking are then row-local.
+
+    Composition matches ``_convolve_reference`` exactly: cells outside the
+    reference's write window (global rows [a, R-a) x cols [l//2, C-l)) keep
+    their raw echo values, and the lateral pass reads a buffer that is zero
+    outside the axial row window.
+    """
+    ax = psf_mod.axial_kernel(cfg)
+    lat = psf_mod.lateral_kernel(cfg)
+    r_local, cols = rf_local.shape
+    a = ax.shape[0]
+    l = lat.shape[0]
+    r_global = r_local * n_shards
+    if r_global <= 2 * a or cols <= l + l // 2:
+        return rf_local
+
+    # halo: the axial pass at local row r reads global rows [r, r+a), i.e.
+    # up to a-1 rows owned by following shard(s); rotate shard blocks up
+    # until enough rows are collected (a-1 may span several shards when
+    # shards are shorter than the kernel)
+    n_steps = -(-(a - 1) // r_local)
+    parts = [rf_local]
+    rot = rf_local
+    perm = [(j, (j - 1) % n_shards) for j in range(n_shards)]
+    for _ in range(n_steps):
+        rot = jax.lax.ppermute(rot, axis, perm=perm)
+        parts.append(rot)
+    ext = jnp.concatenate(parts, axis=0)[: r_local + a - 1, :]
+    # ext wraps shard 0's rows onto the last shard's tail; those values are
+    # only read by output rows >= R-a, which the write mask discards.
+    conv_ax = sum(ext[k : k + r_local, :] * ax[k] for k in range(a))
+
+    my_shard = jax.lax.axis_index(axis)
+    row_global = my_shard * r_local + jnp.arange(r_local)
+    row_ok = (row_global >= a) & (row_global < r_global - a)
+    buf = jnp.where(row_ok[:, None], conv_ax, 0.0)
+
+    cv = cols - l + 1
+    conv_lat = sum(buf[:, k : k + cv] * lat[k] for k in range(l))
+    conv_full = jnp.zeros_like(rf_local).at[:, :cv].set(conv_lat)
+
+    col_ok = (jnp.arange(cols) >= l // 2) & (jnp.arange(cols) < cols - l)
+    write = row_ok[:, None] & col_ok[None, :]
+    return jnp.where(write, conv_full, rf_local)
+
+
 def _convolve_centered(rf: Array, ax: Array, lat: Array) -> Array:
     """Centered separable 'same' correlation with zero padding — the
     fixed-up variant of the reference's shifted kernels."""
@@ -286,6 +341,23 @@ def scan_convert(rf: Array, map_row: Array, map_col: Array) -> Array:
     return jax.scipy.ndimage.map_coordinates(
         rf, [map_row, map_col], order=1, mode="constant", cval=0.0
     )
+
+
+def gaussian_blur(img: Array, sigma: float) -> Array:
+    """Separable Gaussian blur with edge padding (static kernel size 6*sigma).
+    Used by the speckle-robust pose-registration objective
+    (models/trainer.py PoseFitter): blurring the compounded B-mode keeps the
+    macro anatomy and suppresses the speckle micro-structure."""
+    radius = int(3 * sigma)
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    k = k / k.sum()
+    n = k.shape[0]
+    rows, cols = img.shape
+    padded = jnp.pad(img, ((radius, radius), (0, 0)), mode="edge")
+    out = sum(padded[i : i + rows, :] * k[i] for i in range(n))
+    padded = jnp.pad(out, ((0, 0), (radius, radius)), mode="edge")
+    return sum(padded[:, i : i + cols] * k[i] for i in range(n))
 
 
 def log_compress(img: Array) -> Array:

@@ -64,6 +64,32 @@ def test_halo_imaging_matches_replicated(setup):
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("rows", [64, 16])  # 16 -> 2 rows/shard: multi-hop halo
+def test_row_sharded_convolution_matches_replicated(setup, rows):
+    """SURVEY.md §2.3 long axis (b): RF image sharded over time rows; the
+    axial 7-tap pass exchanges an (a-1, C) ppermute halo. Must equal the
+    replicated reference convolution (including the untouched borders)."""
+    import functools
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+    from mcray_tpu.ops import imaging
+
+    _, cfg = setup
+    cols = 32
+    rf = jax.random.normal(jax.random.PRNGKey(7), (rows, cols), jnp.float32)
+    expected = np.asarray(imaging.convolve_psf(rf, cfg))
+
+    mesh = Mesh(np.asarray(jax.devices()), ("rows",))
+    body = functools.partial(
+        imaging.convolve_psf_rows_sharded, cfg=cfg, axis="rows", n_shards=8
+    )
+    out = jax.shard_map(
+        body, mesh=mesh, in_specs=P("rows", None), out_specs=P("rows", None),
+        check_vma=False,
+    )(rf)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5, atol=1e-6)
+
+
 def test_sharded_train_step_runs(setup):
     import jax.numpy as jnp
     import optax
