@@ -517,6 +517,19 @@ class Simulator:
 
         self._render_batch = _render_batch
 
+        # latency path: device-resident pose/materials closed over; only a
+        # seed scalar crosses the host->device boundary per frame
+        _pos0 = jnp.asarray(pack.transducer_position)
+        _ang0 = jnp.asarray(pack.transducer_angles)
+        _mat0 = self.materials
+
+        @jax.jit
+        def _render_seeded(seed):
+            key = jax.random.PRNGKey(seed)
+            return _render(key, _mat0, _pos0, _ang0, hash(cfg))
+
+        self._render_seeded = _render_seeded
+
     def render_batch(self, seeds, materials=None, position=None, angles=None):
         """Render many MC frames in ONE device call (vmap over seeds) —
         amortises per-call dispatch and pipelines the kernels; the throughput
@@ -535,6 +548,12 @@ class Simulator:
         return self.render_batch(seeds, **kw).mean(axis=0)
 
     def render_frame(self, seed: int = 0, materials=None, position=None, angles=None):
+        """Single-frame render. The hot path (no per-call overrides) ships ONE
+        int32 scalar to the device — the key is derived inside the jit and the
+        pose/materials live device-resident — so per-frame latency is device
+        time plus one tiny transfer, not four host->device conversions."""
+        if materials is None and position is None and angles is None:
+            return self._render_seeded(jnp.int32(seed))
         key = jax.random.PRNGKey(seed)
         return self._render(
             key,
