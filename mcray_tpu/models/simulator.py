@@ -145,15 +145,17 @@ def trace_paths(
 
             hits = bvh_packet_intersect(origin, seg_vec, packet_bvh)
         elif culled_tris is not None:
+            from ..ops.pallas import intersect as I
+
             packed, staged = culled_tris
-            if staged:
-                from ..ops.pallas.intersect import intersect_closest_staged
-
-                hits = intersect_closest_staged(origin, seg_vec, packed)
+            fn = I.intersect_closest_staged if staged else I.intersect_closest_culled
+            if packed.n_clusters >= 32:
+                # coherence-sort bounced rays into tight packets so the
+                # per-packet AABB pruning bites (small scenes: the argsort
+                # costs more than the few clusters it would skip)
+                hits = I.intersect_sorted(fn, origin, seg_vec, packed)
             else:
-                from ..ops.pallas.intersect import intersect_closest_culled
-
-                hits = intersect_closest_culled(origin, seg_vec, packed)
+                hits = fn(origin, seg_vec, packed)
         elif use_bvh and bvh_arrays is not None:
             nodes, meta, order = bvh_arrays
             hits = bvh_intersect_closest(

@@ -197,6 +197,8 @@ class CulledTris:
     aabb_super: jax.Array    # (n_super, 8) f32, over SUPER_G clusters each
     n_clusters: int
     n_super: int
+    scene_lo: jax.Array = None  # (3,) scene AABB, for packet sort keys
+    scene_hi: jax.Array = None
 
 
 def pack_tris_culled(
@@ -245,9 +247,15 @@ def pack_tris_culled(
     soa[0:3, :t] = v0.T
     soa[3:6, :t] = e1.T
     soa[6:9, :t] = e2.T
-    # per-cluster AABB, broadcast across the cluster's columns
-    soa[9:12, :] = np.inf    # empty box for padding clusters
-    soa[12:15, :] = -np.inf
+    # per-cluster AABB, broadcast across the cluster's columns.
+    # Padding clusters carry a FAR degenerate box (min == max == 1e30), NOT
+    # an inverted +-inf box: the slab test cannot reject inverted boxes (the
+    # per-axis [t(min), t(max)] interval is re-ordered by the min/max, so an
+    # inverted infinite box yields enter=-inf <= leave=+inf = always-hit).
+    # A far box fails `enter < min(t, 1)` / `leave > 0` for every real ray.
+    FAR = 1e30
+    soa[9:12, :] = FAR
+    soa[12:15, :] = FAR
     for c in range(0, t, TILE_T):
         chunk = tris_o[c : c + TILE_T]  # (<=TILE_T, 3, 3)
         lo = chunk.reshape(-1, 3).min(axis=0)
@@ -275,17 +283,31 @@ def pack_tris_culled(
         soa[0:9].reshape(9, n_clusters, TILE_T).transpose(1, 0, 2)
     )
     aabb_c = np.zeros((n_clusters_pad, 8), np.float32)
-    aabb_c[:, 0:3] = np.inf
-    aabb_c[:, 3:6] = -np.inf
+    aabb_c[:, 0:3] = FAR  # far degenerate sentinel, see soa comment above
+    aabb_c[:, 3:6] = FAR
     for c in range(0, t, TILE_T):
         chunk = tris_o[c : c + TILE_T].reshape(-1, 3)
         ci = c // TILE_T
         aabb_c[ci, 0:3] = chunk.min(axis=0)
         aabb_c[ci, 3:6] = chunk.max(axis=0)
-    aabb_s = np.zeros((n_super, 8), np.float32)
+    # super AABBs over the REAL clusters only (padding clusters' FAR
+    # sentinels must not leak into a mixed super's max)
+    aabb_s = np.full((n_super, 8), 0.0, np.float32)
     grouped = aabb_c.reshape(n_super, SUPER_G, 8)
-    aabb_s[:, 0:3] = grouped[:, :, 0:3].min(axis=1)
-    aabb_s[:, 3:6] = grouped[:, :, 3:6].max(axis=1)
+    real_per_super = np.minimum(
+        np.maximum(n_clusters - np.arange(n_super) * SUPER_G, 0), SUPER_G
+    )
+    for si in range(n_super):
+        k = real_per_super[si]
+        if k == 0:
+            aabb_s[si, 0:3] = FAR
+            aabb_s[si, 3:6] = FAR
+        else:
+            aabb_s[si, 0:3] = grouped[si, :k, 0:3].min(axis=0)
+            aabb_s[si, 3:6] = grouped[si, :k, 3:6].max(axis=0)
+
+    scene_lo = tris.reshape(-1, 3).min(axis=0) if t else np.zeros(3, np.float32)
+    scene_hi = tris.reshape(-1, 3).max(axis=0) if t else np.ones(3, np.float32)
 
     return CulledTris(
         soa=jnp.asarray(soa),
@@ -299,7 +321,57 @@ def pack_tris_culled(
         aabb_super=jnp.asarray(aabb_s),
         n_clusters=n_clusters_pad,
         n_super=n_super,
+        scene_lo=jnp.asarray(scene_lo.astype(np.float32)),
+        scene_hi=jnp.asarray(scene_hi.astype(np.float32)),
     )
+
+
+def _part1by2_5bit(x):
+    """Spread 5 bits to every 3rd position (bits 0,3,6,9,12)."""
+    x = (x | (x << 8)) & 0x10F
+    x = (x | (x << 4)) & 0x10C3
+    return (x | (x << 2)) & 0x1249
+
+
+def packet_sort_keys(origins, seg_vecs, packed: CulledTris):
+    """Direction-octant + origin-Morton sort keys for packet coherence.
+
+    The culled/staged kernels prune per 128-ray PACKET: a cluster is visited
+    if ANY ray in the packet slab-hits its box, so pruning quality is set by
+    the packet's spatial/angular spread. Bounce>=1 rays arrive in element
+    order but scatter in space; sorting by (direction octant, 5-bit-per-axis
+    origin Morton) re-forms tight packets. Measured on the 200k-tri stress
+    scene with isotropic rays: cluster packet-survival 24%, super 99%
+    (scripts/staged_diag.py) — the sort is what makes the AABB levels bite.
+    """
+    lo = packed.scene_lo
+    span = jnp.maximum(packed.scene_hi - lo, 1e-6)
+    q = jnp.clip((origins - lo) / span * 32.0, 0.0, 31.0).astype(jnp.int32)
+    m = (
+        (_part1by2_5bit(q[:, 0]) << 2)
+        | (_part1by2_5bit(q[:, 1]) << 1)
+        | _part1by2_5bit(q[:, 2])
+    )
+    octant = (
+        ((seg_vecs[:, 0] > 0).astype(jnp.int32) << 2)
+        | ((seg_vecs[:, 1] > 0).astype(jnp.int32) << 1)
+        | (seg_vecs[:, 2] > 0).astype(jnp.int32)
+    )
+    return (octant << 15) | m
+
+
+def intersect_sorted(intersect_fn, origins, seg_vecs, packed: CulledTris):
+    """Run a packet-pruned intersect on coherence-sorted rays and unsort the
+    results. Pure permutation (linear), so gradients flow unchanged."""
+    keys = packet_sort_keys(
+        jax.lax.stop_gradient(origins), jax.lax.stop_gradient(seg_vecs), packed
+    )
+    perm = jnp.argsort(keys)
+    hits = intersect_fn(origins[perm], seg_vecs[perm], packed)
+    inv = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(perm.shape[0], dtype=perm.dtype)
+    )
+    return {k: v[inv] for k, v in hits.items()}
 
 
 def _intersect_staged_kernel(

@@ -69,8 +69,10 @@ def main():
     print(f"cluster packet-survival (no tightening): {packet_survival(aabb_c)*100:.1f}%")
     print(f"super   packet-survival (no tightening): {packet_survival(aabb_s)*100:.1f}%")
 
-    empty_c = jnp.tile(jnp.asarray([[np.inf]*3 + [-np.inf]*3 + [0, 0]], jnp.float32), (packed.n_clusters, 1))
-    empty_s = jnp.tile(jnp.asarray([[np.inf]*3 + [-np.inf]*3 + [0, 0]], jnp.float32), (packed.n_super, 1))
+    # far degenerate box = the only sentinel the slab test reliably rejects
+    # (an inverted +-inf box always passes: enter=-inf <= leave=+inf)
+    empty_c = jnp.tile(jnp.asarray([[1e30]*6 + [0, 0]], jnp.float32), (packed.n_clusters, 1))
+    empty_s = jnp.tile(jnp.asarray([[1e30]*6 + [0, 0]], jnp.float32), (packed.n_super, 1))
     full_c = jnp.tile(jnp.asarray([[-1e9]*3 + [1e9]*3 + [0, 0]], jnp.float32), (packed.n_clusters, 1))
     full_s = jnp.tile(jnp.asarray([[-1e9]*3 + [1e9]*3 + [0, 0]], jnp.float32), (packed.n_super, 1))
 

@@ -71,12 +71,21 @@ def main() -> int:
 
     rng = np.random.default_rng(1)
     n = args.rays
-    # a coherent fan + some bounce-like incoherent rays
+    # a coherent probe fan (bounce 0)
     origins = np.tile(np.array([[-12.0, 0.0, 0.0]], np.float32), (n, 1))
     theta = np.linspace(-0.5, 0.5, n)
     segs = np.stack([np.cos(theta) * 25, np.sin(theta) * 25, np.zeros(n)], -1).astype(np.float32)
     o = jnp.asarray(origins)
     s = jnp.asarray(segs)
+    # bounce-like incoherent rays: random origins inside the organ ball,
+    # isotropic directions, attenuation-bounded lengths — the depth>=1
+    # workload where packet coherence must be re-formed by sorting
+    b_orig = rng.uniform(-6, 6, (n, 3)).astype(np.float32)
+    b_dir = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    b_dir /= np.linalg.norm(b_dir, axis=1, keepdims=True)
+    b_len = rng.uniform(2.0, 12.0, (n, 1)).astype(np.float32)
+    ob = jnp.asarray(b_orig)
+    sb = jnp.asarray((b_dir * b_len).astype(np.float32))
 
     for t_count in args.tris:
         tris, mids = build_scene_arrays(t_count)
@@ -118,7 +127,17 @@ def main() -> int:
             lambda o, s: intersect_closest_staged(o, s, culled, interpret=args.interpret)["t"]
         )
 
-        candidates = [("brute", brute), ("culled", cull), ("staged", staged)]
+        from mcray_tpu.ops.pallas.intersect import intersect_sorted
+
+        sorted_staged = inner_batched(
+            lambda o, s: intersect_sorted(
+                lambda oo, ss, p: intersect_closest_staged(oo, ss, p, interpret=args.interpret),
+                o, s, culled,
+            )["t"]
+        )
+
+        candidates = [("brute", brute), ("culled", cull), ("staged", staged),
+                      ("staged+sort", sorted_staged)]
         if args.packet:
             candidates.append(("packet-bvh", packet))
         results = {}
@@ -136,7 +155,30 @@ def main() -> int:
         parts = ", ".join(f"{n} {r[0]*1e3:.2f} ms" for n, r in results.items())
         print(
             f"T={t_count}: {parts}, culled {results['brute'][0]/results['culled'][0]:.2f}x, "
-            f"staged {results['brute'][0]/results['staged'][0]:.2f}x, agree={agree}",
+            f"staged {results['brute'][0]/results['staged'][0]:.2f}x, "
+            f"staged+sort {results['brute'][0]/results['staged+sort'][0]:.2f}x, agree={agree}",
+            flush=True,
+        )
+
+        # bounce-like incoherent rays
+        results_b = {}
+        for name, fn in [("brute", brute), ("staged", staged), ("staged+sort", sorted_staged)]:
+            out = jax.block_until_ready(fn(ob, sb))
+            t0 = time.perf_counter()
+            for _ in range(args.reps):
+                out2 = jax.block_until_ready(fn(ob, sb))
+            dt = (time.perf_counter() - t0) / (args.reps * args.inner)
+            results_b[name] = (dt, out2)
+        agree_b = all(
+            bool(jnp.allclose(results_b["brute"][1], r[1], rtol=1e-4))
+            for r in results_b.values()
+        )
+        parts = ", ".join(f"{n} {r[0]*1e3:.2f} ms" for n, r in results_b.items())
+        print(
+            f"T={t_count} (bounce rays): {parts}, "
+            f"staged {results_b['brute'][0]/results_b['staged'][0]:.2f}x, "
+            f"staged+sort {results_b['brute'][0]/results_b['staged+sort'][0]:.2f}x, "
+            f"agree={agree_b}",
             flush=True,
         )
     return 0
