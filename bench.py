@@ -67,8 +67,8 @@ def main() -> int:
     rays_per_s = sim.rays_per_frame / dt
 
     # large-scene row: the shipped ~123k-triangle anatomical HD phantom
-    # (assets/ircad11_hd, VERDICT r1 item 4) through the staged two-level
-    # intersect kernel
+    # (assets/ircad11_hd, VERDICT r1 item 4) through the list-driven
+    # intersect kernel (per-packet surviving-cluster lists)
     hd_extra = {}
     try:
         pack_hd = load_and_compile("assets/ircad11_hd/santi-liver-hd.scene", cfg)

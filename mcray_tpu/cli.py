@@ -71,6 +71,10 @@ def render_main(argv) -> int:
     p.add_argument("--bvh", action="store_true", help="use BVH traversal instead of brute force")
     p.add_argument("--bug-compat", action="store_true", help="replicate reference material-transition bug")
     p.add_argument("--save-rf", default=None, help="also save the raw RF image (npz)")
+    p.add_argument("--dump-column", type=int, default=None, metavar="COL",
+                   help="print one RF scanline (raw + envelope values per row) "
+                        "to stdout — the reference's rf_image::print(column) "
+                        "debug dump (src/rfimage.h:166-173)")
     p.add_argument("--platform", default=None, help="force a jax platform (e.g. cpu, tpu)")
     p.add_argument("--probe", default=None, choices=["convex", "linear", "phased"],
                    help="probe family (default: convex, the reference's)")
@@ -128,6 +132,13 @@ def render_main(argv) -> int:
     if args.save_rf:
         np.savez(args.save_rf, rf_raw=np.asarray(out["rf_raw"]),
                  rf_env=np.asarray(out["rf_env"]), bmode=bmode)
+    if args.dump_column is not None:
+        col = args.dump_column
+        raw = np.asarray(out["rf_raw"])[:, col]
+        env = np.asarray(out["rf_env"])[:, col]
+        print(f"RF column {col} (row: raw envelope):")
+        for r in range(raw.shape[0]):
+            print(f"{r:4d}: {raw[r]: .6e} {env[r]: .6e}")
 
     if args.frames > 1:
         steady = t_steady / (args.frames - 1)

@@ -147,8 +147,12 @@ def trace_paths(
         elif culled_tris is not None:
             from ..ops.pallas import intersect as I
 
-            packed, staged = culled_tris
-            fn = I.intersect_closest_staged if staged else I.intersect_closest_culled
+            packed, mode = culled_tris
+            fn = {
+                "culled": I.intersect_closest_culled,
+                "staged": I.intersect_closest_staged,
+                "listed": I.intersect_closest_listed,
+            }[mode]
             if packed.n_clusters >= 32:
                 # coherence-sort bounced rays into tight packets so the
                 # per-packet AABB pruning bites (small scenes: the argsort
@@ -392,7 +396,7 @@ class Simulator:
         use_fused_postproc: bool | None = None,
         use_culled_intersect: bool | None = None,
         use_pallas_scanconv: bool | None = None,
-        use_staged_intersect: bool | None = None,
+        intersect_mode: str | None = None,
     ):
         self.cfg = cfg
         self.pack = pack
@@ -438,12 +442,17 @@ class Simulator:
                 order,
                 sort_origin=pack.transducer_position,
             )
-            # staged (two-level, DMA-on-demand) kernel: default for large
-            # scenes, where skipping whole-cluster HBM streams dominates;
-            # the streaming culled kernel stays available behind the flag
-            if use_staged_intersect is None:
-                use_staged_intersect = pack.n_triangles >= 8192
-            self.culled_tris = (packed, bool(use_staged_intersect))
+            # list-driven kernel ("listed": per-packet surviving-cluster
+            # lists built in jnp, double-buffered cluster DMA, front-to-back
+            # tightened-t early-out) is the large-scene default — measured
+            # fastest on both coherent and bounce rays; the streaming
+            # "culled" kernel wins for small cluster counts, and the
+            # two-level "staged" kernel stays available for comparison
+            if intersect_mode is None:
+                intersect_mode = "listed" if pack.n_triangles >= 8192 else "culled"
+            if intersect_mode not in ("culled", "staged", "listed"):
+                raise ValueError(f"unknown intersect_mode {intersect_mode!r}")
+            self.culled_tris = (packed, intersect_mode)
             self.use_bvh = False
             self.use_pallas_intersect = False
         # packet-BVH path: explicit opt-in (interpret-verified; compiled TPU

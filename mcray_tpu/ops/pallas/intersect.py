@@ -279,9 +279,13 @@ def pack_tris_culled(
     n_clusters_pad = ((n_clusters + SUPER_G - 1) // SUPER_G) * SUPER_G
     n_super = n_clusters_pad // SUPER_G
     hbm = np.zeros((n_clusters_pad, 16, TILE_T), np.float32)
-    hbm[:n_clusters, 0:9] = (
-        soa[0:9].reshape(9, n_clusters, TILE_T).transpose(1, 0, 2)
+    # all 16 SoA rows: triangles (0-8) plus the cluster AABB (9-14) so the
+    # listed kernel can re-check the box against the tightened running t
+    # straight from its DMA'd tile (padding clusters keep the FAR sentinel)
+    hbm[:n_clusters] = (
+        soa.reshape(SOA_ROWS, n_clusters, TILE_T).transpose(1, 0, 2)
     )
+    hbm[n_clusters:, 9:15] = FAR
     aabb_c = np.zeros((n_clusters_pad, 8), np.float32)
     aabb_c[:, 0:3] = FAR  # far degenerate sentinel, see soa comment above
     aabb_c[:, 3:6] = FAR
@@ -542,6 +546,262 @@ def intersect_closest_staged(
         jax.lax.stop_gradient(packed.aabb_super),
         jax.lax.stop_gradient(packed.aabb_cluster),
         jax.lax.stop_gradient(rays),
+        jax.lax.stop_gradient(packed.hbm_tris),
+    )
+
+    hit = best_t[0, :n] < 1.5
+    best_slot = jnp.minimum(best_slot[0, :n], packed.n_slots - 1)
+    t_diff, _ = _moller_trumbore(
+        origins,
+        seg_vecs,
+        packed.slot_v0[best_slot],
+        packed.slot_e1[best_slot],
+        packed.slot_e2[best_slot],
+        eps=eps,
+    )
+    best_t = jnp.where(hit, t_diff, NO_HIT_T)
+    point = origins + best_t[:, None] * seg_vecs
+    e1 = packed.slot_e1[best_slot]
+    e2 = packed.slot_e2[best_slot]
+    face_n = normalize(jnp.cross(e1, e2), eps=1e-20)
+    flip = jnp.sum(face_n * seg_vecs, axis=-1) > 0.0
+    normal = jnp.where(flip[:, None], -face_n, face_n)
+    return {
+        "hit": hit,
+        "t": best_t,
+        "point": point,
+        "normal": normal,
+        "mesh_id": jnp.where(hit, packed.slot_mesh_id[best_slot], -1).astype(
+            jnp.int32
+        ),
+    }
+
+
+def _packet_cluster_lists(origins, seg_vecs, packed: CulledTris):
+    """Per-packet surviving-cluster lists, computed vectorised in jnp.
+
+    For each TILE_R-ray packet, slab-test every ray against every cluster
+    AABB (one dense (P, R, C) elementwise pass — XLA fuses it, no kernel
+    needed) and emit, per packet:
+
+    - ``counts`` (P,) i32 — how many clusters ANY ray of the packet can hit,
+    - ``ids``    (P, C) i32 — those cluster ids FIRST, ordered front-to-back
+      by the packet's earliest slab entry t (the ordered-BVH-descent order:
+      the kernel's running closest hit tightens after the first few clusters
+      and its in-tile AABB re-check then skips the rest of the list's
+      Moller-Trumbore work), remaining slots filled with the non-survivors
+      (never visited — the kernel loops only ``counts`` entries).
+
+    This replaces the staged kernel's in-kernel scan over ALL super/cluster
+    boxes per packet: pruning runs once, vectorised, at full VPU width, and
+    the serial per-packet loop touches exactly the surviving clusters.
+    """
+    n = origins.shape[0]
+    p = n // TILE_R
+    o = origins.reshape(p, TILE_R, 1, 3)
+    s = seg_vecs.reshape(p, TILE_R, 1, 3)
+    aabb = packed.aabb_cluster  # (C, 8)
+    lo = aabb[None, None, :, 0:3]
+    hi = aabb[None, None, :, 3:6]
+    ok = jnp.abs(s) > 1e-30
+    inv = jnp.where(ok, 1.0 / jnp.where(ok, s, 1.0), 1e30)
+    t0 = (lo - o) * inv
+    t1 = (hi - o) * inv
+    enter = jnp.max(jnp.minimum(t0, t1), axis=-1)  # (P, R, C)
+    leave = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hit = (enter <= leave) & (leave > 0.0) & (enter < 1.0)
+    any_hit = jnp.any(hit, axis=1)  # (P, C)
+    key = jnp.min(jnp.where(hit, jnp.maximum(enter, 0.0), jnp.inf), axis=1)
+    key = jnp.where(any_hit, key, jnp.inf)
+    ids = jnp.argsort(key, axis=1).astype(jnp.int32)  # survivors first, near first
+    counts = jnp.sum(any_hit, axis=1).astype(jnp.int32)
+    return counts, ids
+
+
+def _intersect_listed_kernel(
+    counts_ref,  # (P,) SMEM
+    ids_ref,     # (P, C) SMEM — per-packet cluster lists
+    rays_ref,    # (6, TILE_R) VMEM
+    tris_hbm,    # (n_clusters, 16, TILE_T) ANY/HBM
+    t_ref, idx_ref,   # (1, TILE_R) VMEM outputs
+    scratch, sem,     # (2, 16, TILE_T) VMEM + (2,) DMA semaphores
+    *,
+    eps: float,
+):
+    """List-driven closest hit: loop this packet's surviving clusters only,
+    double-buffering the cluster DMAs (prefetch list entry it+1 while
+    intersecting entry it) and re-checking each tile's AABB (rows 9-14 of the
+    DMA'd SoA) against the TIGHTENED running t before spending Moller-Trumbore
+    on it. Front-to-back list order (see _packet_cluster_lists) makes that
+    re-check kill most of the tail after the first real hit."""
+    p = pl.program_id(0)
+    t_ref[:] = jnp.full_like(t_ref, NO_HIT_T)
+    idx_ref[:] = jnp.zeros_like(idx_ref)
+
+    n = counts_ref[p]
+
+    ox = rays_ref[0, :].reshape(1, TILE_R)
+    oy = rays_ref[1, :].reshape(1, TILE_R)
+    oz = rays_ref[2, :].reshape(1, TILE_R)
+    sx = rays_ref[3, :].reshape(1, TILE_R)
+    sy = rays_ref[4, :].reshape(1, TILE_R)
+    sz = rays_ref[5, :].reshape(1, TILE_R)
+
+    big = jnp.float32(1e30)
+
+    def inv(c):
+        ok = jnp.abs(c) > 1e-30
+        return jnp.where(ok, 1.0 / jnp.where(ok, c, 1.0), big)
+
+    ix_, iy_, iz_ = inv(sx), inv(sy), inv(sz)
+
+    def get_dma(slot, c):
+        return pltpu.make_async_copy(tris_hbm.at[c], scratch.at[slot], sem.at[slot])
+
+    @pl.when(n > 0)
+    def _():
+        get_dma(0, ids_ref[p, 0]).start()
+
+    def body(it, _):
+        cur = jax.lax.rem(it, 2)
+        nxt = jax.lax.rem(it + 1, 2)
+
+        @pl.when(it + 1 < n)
+        def _():
+            get_dma(nxt, ids_ref[p, it + 1]).start()
+
+        c = ids_ref[p, it]
+        get_dma(cur, c).wait()
+
+        # AABB re-check vs the tightened running t (tile rows 9-14)
+        bminx = scratch[cur, 9, 0]
+        bminy = scratch[cur, 10, 0]
+        bminz = scratch[cur, 11, 0]
+        bmaxx = scratch[cur, 12, 0]
+        bmaxy = scratch[cur, 13, 0]
+        bmaxz = scratch[cur, 14, 0]
+        tx0 = (bminx - ox) * ix_
+        tx1 = (bmaxx - ox) * ix_
+        ty0 = (bminy - oy) * iy_
+        ty1 = (bmaxy - oy) * iy_
+        tz0 = (bminz - oz) * iz_
+        tz1 = (bmaxz - oz) * iz_
+        enter = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1),
+        )
+        leave = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1),
+        )
+        active = (enter <= leave) & (leave > 0.0) & (
+            enter < jnp.minimum(t_ref[:], 1.0)
+        )
+
+        @pl.when(jnp.any(active))
+        def _():
+            def trow(f):
+                return scratch[cur, f, :].reshape(TILE_T, 1)
+
+            v0x, v0y, v0z = trow(0), trow(1), trow(2)
+            e1x, e1y, e1z = trow(3), trow(4), trow(5)
+            e2x, e2y, e2z = trow(6), trow(7), trow(8)
+
+            px = sy * e2z - sz * e2y
+            py = sz * e2x - sx * e2z
+            pz = sx * e2y - sy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            det_ok = jnp.abs(det) > eps
+            inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+
+            tx = ox - v0x
+            ty = oy - v0y
+            tz = oz - v0z
+            u = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            v = (sx * qx + sy * qy + sz * qz) * inv_det
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+
+            valid = (
+                det_ok
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t > 0.0)
+                & (t < 1.0)
+            )
+            t = jnp.where(valid, t, NO_HIT_T)
+
+            tmin = jnp.min(t, axis=0, keepdims=True)
+            targ = jnp.argmin(t, axis=0).reshape(1, TILE_R)
+
+            better = tmin < t_ref[:]
+            t_ref[:] = jnp.where(better, tmin, t_ref[:])
+            idx_ref[:] = jnp.where(better, c * TILE_T + targ, idx_ref[:])
+
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+def intersect_closest_listed(
+    origins: jax.Array,   # (N, 3)
+    seg_vecs: jax.Array,  # (N, 3)
+    packed: CulledTris,
+    *,
+    interpret: bool = False,
+    eps: float = 1e-9,
+):
+    """Closest hit via the list-driven kernel (see _packet_cluster_lists /
+    _intersect_listed_kernel); same contract and gradient transparency as
+    intersect_closest_culled. Rays should be coherence-sorted first
+    (intersect_sorted) so packets are tight."""
+    n = origins.shape[0]
+    n_pad = (-n) % TILE_R
+    o_ng = jax.lax.stop_gradient(origins)
+    s_ng = jax.lax.stop_gradient(seg_vecs)
+    rays = jnp.concatenate([o_ng, s_ng], axis=1).T
+    if n_pad:
+        rays = jnp.pad(rays, ((0, 0), (0, n_pad)))
+    n_tot = n + n_pad
+
+    if n_pad:
+        # padded rays have zero direction -> hit nothing, list empty
+        o_pad = jnp.pad(o_ng, ((0, n_pad), (0, 0)))
+        s_pad = jnp.pad(s_ng, ((0, n_pad), (0, 0)))
+    else:
+        o_pad, s_pad = o_ng, s_ng
+    counts, ids = _packet_cluster_lists(o_pad, s_pad, packed)
+
+    kernel = functools.partial(_intersect_listed_kernel, eps=eps)
+    best_t, best_slot = pl.pallas_call(
+        kernel,
+        grid=(n_tot // TILE_R,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((6, TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n_tot), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_tot), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, TILE_T), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(
+        counts,
+        ids,
+        rays,
         jax.lax.stop_gradient(packed.hbm_tris),
     )
 

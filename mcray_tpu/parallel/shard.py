@@ -280,7 +280,8 @@ class ShardedRenderer:
                             order,
                             sort_origin=pack.transducer_position,
                         ),
-                        pack.n_triangles >= 8192,  # staged for large scenes
+                        # list-driven kernel for large scenes (Simulator policy)
+                        "listed" if pack.n_triangles >= 8192 else "culled",
                     )
                 }
             else:

@@ -64,6 +64,7 @@ def main() -> int:
     from mcray_tpu.ops.pallas.bvh_packet import bvh_packet_intersect, pack_bvh_for_kernel
     from mcray_tpu.ops.pallas.intersect import (
         intersect_closest_culled,
+        intersect_closest_listed,
         intersect_closest_pallas,
         intersect_closest_staged,
         pack_tris_culled,
@@ -135,9 +136,15 @@ def main() -> int:
                 o, s, culled,
             )["t"]
         )
+        sorted_listed = inner_batched(
+            lambda o, s: intersect_sorted(
+                lambda oo, ss, p: intersect_closest_listed(oo, ss, p, interpret=args.interpret),
+                o, s, culled,
+            )["t"]
+        )
 
         candidates = [("brute", brute), ("culled", cull), ("staged", staged),
-                      ("staged+sort", sorted_staged)]
+                      ("staged+sort", sorted_staged), ("listed+sort", sorted_listed)]
         if args.packet:
             candidates.append(("packet-bvh", packet))
         results = {}
@@ -162,7 +169,7 @@ def main() -> int:
 
         # bounce-like incoherent rays
         results_b = {}
-        for name, fn in [("brute", brute), ("staged", staged), ("staged+sort", sorted_staged)]:
+        for name, fn in [("brute", brute), ("staged", staged), ("staged+sort", sorted_staged), ("listed+sort", sorted_listed)]:
             out = jax.block_until_ready(fn(ob, sb))
             t0 = time.perf_counter()
             for _ in range(args.reps):

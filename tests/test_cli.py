@@ -19,6 +19,19 @@ def test_render_cli(tmp_path, capsys):
     assert "saved" in text
 
 
+def test_render_cli_dump_column(tmp_path, capsys):
+    """--dump-column prints one scanline row-by-row (the reference's
+    rf_image::print, src/rfimage.h:166-173)."""
+    from mcray_tpu.cli import main
+
+    out = str(tmp_path / "b.png")
+    assert main([SCENE, "--elements", "16", "--samples", "1", "--out", out,
+                 "--dump-column", "3"]) == 0
+    text = capsys.readouterr().out
+    assert "RF column 3" in text
+    assert "   0: " in text
+
+
 def test_sweep_cli(tmp_path):
     from mcray_tpu.cli import main
 

@@ -125,6 +125,60 @@ def test_staged_intersect_coherent_fan(rng):
     np.testing.assert_allclose(np.asarray(a["t"]), np.asarray(b["t"]), rtol=1e-5, atol=1e-7)
 
 
+def test_listed_intersect_matches_jnp(rng):
+    from mcray_tpu.ops.bvh import build_bvh
+    from mcray_tpu.ops.pallas.intersect import (
+        intersect_closest_listed,
+        intersect_sorted,
+        pack_tris_culled,
+    )
+
+    tris, mid = _random_scene(rng, 700)
+    bvh = build_bvh(np.asarray(tris))
+    packed = pack_tris_culled(np.asarray(tris), np.asarray(mid), bvh.tri_order)
+    n = 150
+    o = jnp.asarray(rng.uniform(-6, 6, (n, 3)), jnp.float32)
+    seg = jnp.asarray(rng.standard_normal((n, 3)) * 8, jnp.float32)
+    a = intersect_closest(o, seg, tris, mid)
+    b = intersect_closest_listed(o, seg, packed, interpret=True)
+    # and through the coherence-sorting wrapper (the production composition)
+    c = intersect_sorted(
+        lambda oo, ss, p: intersect_closest_listed(oo, ss, p, interpret=True),
+        o, seg, packed,
+    )
+    for out in (b, c):
+        np.testing.assert_array_equal(np.asarray(a["hit"]), np.asarray(out["hit"]))
+        np.testing.assert_allclose(
+            np.asarray(a["t"]), np.asarray(out["t"]), rtol=1e-5, atol=1e-7
+        )
+        hit = np.asarray(a["hit"])
+        np.testing.assert_array_equal(
+            np.asarray(a["mesh_id"])[hit], np.asarray(out["mesh_id"])[hit]
+        )
+        np.testing.assert_allclose(
+            np.asarray(a["normal"])[hit], np.asarray(out["normal"])[hit], atol=1e-5
+        )
+
+
+def test_listed_intersect_no_hits_and_dead_rays(rng):
+    """Empty per-packet lists (no survivors) and parked dead rays (zero
+    segment at 1e9 — the bounce loop's dead-ray convention) return misses."""
+    from mcray_tpu.ops.bvh import build_bvh
+    from mcray_tpu.ops.pallas.intersect import (
+        intersect_closest_listed,
+        pack_tris_culled,
+    )
+
+    tris, mid = _random_scene(rng, 300)
+    bvh = build_bvh(np.asarray(tris))
+    packed = pack_tris_culled(np.asarray(tris), np.asarray(mid), bvh.tri_order)
+    o = jnp.full((130, 3), 1e9, jnp.float32)
+    seg = jnp.zeros((130, 3), jnp.float32)
+    b = intersect_closest_listed(o, seg, packed, interpret=True)
+    assert not np.asarray(b["hit"]).any()
+    assert (np.asarray(b["mesh_id"]) == -1).all()
+
+
 def test_culled_intersect_coherent_fan(rng):
     """Convex-fan primary rays (the real workload) against nested shells."""
     from mcray_tpu.ops.bvh import build_bvh
