@@ -199,6 +199,8 @@ class CulledTris:
     n_super: int
     scene_lo: jax.Array = None  # (3,) scene AABB, for packet sort keys
     scene_hi: jax.Array = None
+    tile_t: int = TILE_T  # triangles per cluster (listed kernel honours this;
+    #                       culled/staged require the default TILE_T)
 
 
 def pack_tris_culled(
@@ -206,6 +208,7 @@ def pack_tris_culled(
     tri_mesh_id: np.ndarray,
     order: np.ndarray | None = None,
     sort_origin: np.ndarray | None = None,
+    tile_t: int = TILE_T,
 ) -> CulledTris:
     """Permute triangles into spatial ``order`` (e.g. the SAH BVH's
     depth-first tri_order) and pack TILE_T-wide clusters, each carrying its
@@ -223,22 +226,22 @@ def pack_tris_culled(
     if order is None:
         order = np.arange(t)
     order = np.asarray(order)
-    if sort_origin is not None and t > TILE_T:
+    if sort_origin is not None and t > tile_t:
         so = np.asarray(sort_origin, np.float32)
         cent = tris[order].mean(axis=1)  # (t, 3)
-        n_full = t // TILE_T
-        keys = np.empty((n_full + (1 if t % TILE_T else 0),), np.float32)
+        n_full = t // tile_t
+        keys = np.empty((n_full + (1 if t % tile_t else 0),), np.float32)
         for c in range(keys.shape[0]):
-            chunk = cent[c * TILE_T : (c + 1) * TILE_T]
+            chunk = cent[c * tile_t : (c + 1) * tile_t]
             keys[c] = np.linalg.norm(chunk.mean(axis=0) - so)
         cluster_perm = np.argsort(keys, kind="stable")
         order = np.concatenate(
-            [order[c * TILE_T : (c + 1) * TILE_T] for c in cluster_perm]
+            [order[c * tile_t : (c + 1) * tile_t] for c in cluster_perm]
         )
     tris_o = tris[order]
     mid_o = tri_mesh_id[order]
 
-    t_pad = (-t) % TILE_T
+    t_pad = (-t) % tile_t
     n_tot = t + t_pad
     soa = np.zeros((SOA_ROWS, n_tot), np.float32)
     v0 = tris_o[:, 0]
@@ -256,12 +259,12 @@ def pack_tris_culled(
     FAR = 1e30
     soa[9:12, :] = FAR
     soa[12:15, :] = FAR
-    for c in range(0, t, TILE_T):
-        chunk = tris_o[c : c + TILE_T]  # (<=TILE_T, 3, 3)
+    for c in range(0, t, tile_t):
+        chunk = tris_o[c : c + tile_t]  # (<=tile_t, 3, 3)
         lo = chunk.reshape(-1, 3).min(axis=0)
         hi = chunk.reshape(-1, 3).max(axis=0)
-        soa[9:12, c : c + TILE_T] = lo[:, None]
-        soa[12:15, c : c + TILE_T] = hi[:, None]
+        soa[9:12, c : c + tile_t] = lo[:, None]
+        soa[12:15, c : c + tile_t] = hi[:, None]
 
     slot_mid = np.full((n_tot,), -1, np.int32)
     slot_mid[:t] = mid_o
@@ -275,23 +278,23 @@ def pack_tris_culled(
     # --- staged (HBM-resident) layout for the two-level kernel ------------
     # pad the cluster count to a SUPER_G multiple; padding clusters carry an
     # empty AABB (min=+inf > max=-inf) so both levels always cull them
-    n_clusters = n_tot // TILE_T
+    n_clusters = n_tot // tile_t
     n_clusters_pad = ((n_clusters + SUPER_G - 1) // SUPER_G) * SUPER_G
     n_super = n_clusters_pad // SUPER_G
-    hbm = np.zeros((n_clusters_pad, 16, TILE_T), np.float32)
+    hbm = np.zeros((n_clusters_pad, 16, tile_t), np.float32)
     # all 16 SoA rows: triangles (0-8) plus the cluster AABB (9-14) so the
     # listed kernel can re-check the box against the tightened running t
     # straight from its DMA'd tile (padding clusters keep the FAR sentinel)
     hbm[:n_clusters] = (
-        soa.reshape(SOA_ROWS, n_clusters, TILE_T).transpose(1, 0, 2)
+        soa.reshape(SOA_ROWS, n_clusters, tile_t).transpose(1, 0, 2)
     )
     hbm[n_clusters:, 9:15] = FAR
     aabb_c = np.zeros((n_clusters_pad, 8), np.float32)
     aabb_c[:, 0:3] = FAR  # far degenerate sentinel, see soa comment above
     aabb_c[:, 3:6] = FAR
-    for c in range(0, t, TILE_T):
-        chunk = tris_o[c : c + TILE_T].reshape(-1, 3)
-        ci = c // TILE_T
+    for c in range(0, t, tile_t):
+        chunk = tris_o[c : c + tile_t].reshape(-1, 3)
+        ci = c // tile_t
         aabb_c[ci, 0:3] = chunk.min(axis=0)
         aabb_c[ci, 3:6] = chunk.max(axis=0)
     # super AABBs over the REAL clusters only (padding clusters' FAR
@@ -327,6 +330,7 @@ def pack_tris_culled(
         n_super=n_super,
         scene_lo=jnp.asarray(scene_lo.astype(np.float32)),
         scene_hi=jnp.asarray(scene_hi.astype(np.float32)),
+        tile_t=tile_t,
     )
 
 
@@ -510,6 +514,7 @@ def intersect_closest_staged(
 ):
     """Closest hit via the two-level staged kernel; same contract (and the
     same gradient transparency) as intersect_closest_culled."""
+    assert packed.tile_t == TILE_T, "staged kernel requires the default tile_t"
     n = origins.shape[0]
     n_pad = (-n) % TILE_R
     rays = jnp.concatenate([origins, seg_vecs], axis=1).T
@@ -614,19 +619,22 @@ def _packet_cluster_lists(origins, seg_vecs, packed: CulledTris):
     key = jnp.min(jnp.where(hit, jnp.maximum(enter, 0.0), jnp.inf), axis=1)
     key = jnp.where(any_hit, key, jnp.inf)
     ids = jnp.argsort(key, axis=1).astype(jnp.int32)  # survivors first, near first
-    counts = jnp.sum(any_hit, axis=1).astype(jnp.int32)
+    # counts kept 2-D (P, 1): a 1-D SMEM input would get a (1, P) block under
+    # vmap (batched rendering), which Mosaic's block-shape rules reject
+    counts = jnp.sum(any_hit, axis=1, keepdims=True).astype(jnp.int32)
     return counts, ids
 
 
 def _intersect_listed_kernel(
-    counts_ref,  # (P,) SMEM
+    counts_ref,  # (P, 1) SMEM
     ids_ref,     # (P, C) SMEM — per-packet cluster lists
     rays_ref,    # (6, TILE_R) VMEM
     tris_hbm,    # (n_clusters, 16, TILE_T) ANY/HBM
     t_ref, idx_ref,   # (1, TILE_R) VMEM outputs
-    scratch, sem,     # (2, 16, TILE_T) VMEM + (2,) DMA semaphores
+    scratch, sem,     # (2, 16, tile_t) VMEM + (2,) DMA semaphores
     *,
     eps: float,
+    tile_t: int,
 ):
     """List-driven closest hit: loop this packet's surviving clusters only,
     double-buffering the cluster DMAs (prefetch list entry it+1 while
@@ -638,7 +646,7 @@ def _intersect_listed_kernel(
     t_ref[:] = jnp.full_like(t_ref, NO_HIT_T)
     idx_ref[:] = jnp.zeros_like(idx_ref)
 
-    n = counts_ref[p]
+    n = counts_ref[p, 0]
 
     ox = rays_ref[0, :].reshape(1, TILE_R)
     oy = rays_ref[1, :].reshape(1, TILE_R)
@@ -701,7 +709,7 @@ def _intersect_listed_kernel(
         @pl.when(jnp.any(active))
         def _():
             def trow(f):
-                return scratch[cur, f, :].reshape(TILE_T, 1)
+                return scratch[cur, f, :].reshape(tile_t, 1)
 
             v0x, v0y, v0z = trow(0), trow(1), trow(2)
             e1x, e1y, e1z = trow(3), trow(4), trow(5)
@@ -739,7 +747,7 @@ def _intersect_listed_kernel(
 
             better = tmin < t_ref[:]
             t_ref[:] = jnp.where(better, tmin, t_ref[:])
-            idx_ref[:] = jnp.where(better, c * TILE_T + targ, idx_ref[:])
+            idx_ref[:] = jnp.where(better, c * tile_t + targ, idx_ref[:])
 
         return 0
 
@@ -775,7 +783,9 @@ def intersect_closest_listed(
         o_pad, s_pad = o_ng, s_ng
     counts, ids = _packet_cluster_lists(o_pad, s_pad, packed)
 
-    kernel = functools.partial(_intersect_listed_kernel, eps=eps)
+    kernel = functools.partial(
+        _intersect_listed_kernel, eps=eps, tile_t=packed.tile_t
+    )
     best_t, best_slot = pl.pallas_call(
         kernel,
         grid=(n_tot // TILE_R,),
@@ -794,7 +804,7 @@ def intersect_closest_listed(
             jax.ShapeDtypeStruct((1, n_tot), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 16, TILE_T), jnp.float32),
+            pltpu.VMEM((2, 16, packed.tile_t), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -925,6 +935,7 @@ def intersect_closest_culled(
     """Closest hit over cluster-culled triangle tiles; same contract as
     intersect_closest. Winning index is a slot in cluster order; the normal
     and mesh id are gathered from the pre-permuted slot tables."""
+    assert packed.tile_t == TILE_T, "culled kernel requires the default tile_t"
     n = origins.shape[0]
     n_pad = (-n) % TILE_R
     rays = jnp.concatenate([origins, seg_vecs], axis=1).T

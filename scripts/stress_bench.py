@@ -142,9 +142,19 @@ def main() -> int:
                 o, s, culled,
             )["t"]
         )
+        culled128 = pack_tris_culled(
+            tris, mids, bvh.tri_order, sort_origin=origins[0], tile_t=128
+        )
+        sorted_listed128 = inner_batched(
+            lambda o, s: intersect_sorted(
+                lambda oo, ss, p: intersect_closest_listed(oo, ss, p, interpret=args.interpret),
+                o, s, culled128,
+            )["t"]
+        )
 
         candidates = [("brute", brute), ("culled", cull), ("staged", staged),
-                      ("staged+sort", sorted_staged), ("listed+sort", sorted_listed)]
+                      ("staged+sort", sorted_staged), ("listed+sort", sorted_listed),
+                      ("listed128+sort", sorted_listed128)]
         if args.packet:
             candidates.append(("packet-bvh", packet))
         results = {}
@@ -169,7 +179,7 @@ def main() -> int:
 
         # bounce-like incoherent rays
         results_b = {}
-        for name, fn in [("brute", brute), ("staged", staged), ("staged+sort", sorted_staged), ("listed+sort", sorted_listed)]:
+        for name, fn in [("brute", brute), ("staged", staged), ("staged+sort", sorted_staged), ("listed+sort", sorted_listed), ("listed128+sort", sorted_listed128)]:
             out = jax.block_until_ready(fn(ob, sb))
             t0 = time.perf_counter()
             for _ in range(args.reps):
