@@ -436,12 +436,6 @@ class Simulator:
             from ..ops.pallas.intersect import pack_tris_culled
 
             order = pack.bvh.tri_order if pack.bvh is not None else None
-            packed = pack_tris_culled(
-                pack.tris,
-                pack.tri_mesh_id,
-                order,
-                sort_origin=pack.transducer_position,
-            )
             # list-driven kernel ("listed": per-packet surviving-cluster
             # lists built in jnp, double-buffered cluster DMA, front-to-back
             # tightened-t early-out) is the large-scene default — measured
@@ -452,6 +446,16 @@ class Simulator:
                 intersect_mode = "listed" if pack.n_triangles >= 8192 else "culled"
             if intersect_mode not in ("culled", "staged", "listed"):
                 raise ValueError(f"unknown intersect_mode {intersect_mode!r}")
+            packed = pack_tris_culled(
+                pack.tris,
+                pack.tri_mesh_id,
+                order,
+                sort_origin=pack.transducer_position,
+                # narrower clusters = tighter AABBs for the listed kernel;
+                # measured 10.6 -> 8.2 ms on 200k-tri incoherent rays
+                # (scripts/stress_bench.py). culled/staged require 256.
+                tile_t=128 if intersect_mode == "listed" else 256,
+            )
             self.culled_tris = (packed, intersect_mode)
             self.use_bvh = False
             self.use_pallas_intersect = False

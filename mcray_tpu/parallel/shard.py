@@ -272,6 +272,8 @@ class ShardedRenderer:
                 from ..ops.pallas.intersect import pack_tris_culled
 
                 order = pack.bvh.tri_order if pack.bvh is not None else None
+                # list-driven kernel for large scenes (Simulator policy)
+                mode = "listed" if pack.n_triangles >= 8192 else "culled"
                 trace_kw = {
                     "culled_tris": (
                         pack_tris_culled(
@@ -279,9 +281,9 @@ class ShardedRenderer:
                             pack.tri_mesh_id,
                             order,
                             sort_origin=pack.transducer_position,
+                            tile_t=128 if mode == "listed" else 256,
                         ),
-                        # list-driven kernel for large scenes (Simulator policy)
-                        "listed" if pack.n_triangles >= 8192 else "culled",
+                        mode,
                     )
                 }
             else:
