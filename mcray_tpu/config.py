@@ -92,6 +92,16 @@ class SimConfig:
     # (src/rfimage.h:54-91), "hilbert" = exact |analytic signal| via FFT
     # (SURVEY.md §7 item 4 calls for both).
     envelope_mode: str = "reference"
+    # Stop tracing a path once its round-trip time has left the image
+    # window: every later segment starts at t0 >= max_travel_time_us, so its
+    # march rows (floor(t_k/rdt) >= rf_rows) and boundary echo are all
+    # discarded by the same guards the reference applies
+    # (src/main.cpp:124 `t < 100us`, src/rfimage.h:35-37 row bound) — the
+    # B-mode image is bit-identical, only provably-invisible bounce work is
+    # skipped. The reference traces such paths anyway (src/scene.cpp:102
+    # loops all 10 depths); on ircad_hd this flag empties bounce depths >= 6.
+    # Off for the trace-loop oracle test, which ports the reference verbatim.
+    cull_time_window: bool = True
 
     # ------------------------------------------------------------------
     # Derived quantities (all pure functions of the fields above).

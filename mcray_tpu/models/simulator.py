@@ -218,6 +218,13 @@ def trace_paths(
             "valid": hit | miss,
         }
 
+        alive_next = hit & (hb["new_intensity"] > eps)
+        if cfg.cull_time_window:
+            # the continuation's segment would START at
+            # t0 = new_distance_mm * 1000 / c  (segment_march_quantities);
+            # t0 >= window means none of its echoes can land in the RF grid
+            t0_next = (state["distance_mm"] + dist_mm) * 1000.0 / cfg.speed_of_sound
+            alive_next = alive_next & (t0_next < float(cfg.max_travel_time_us))
         new_state = {
             "from": jnp.where(hit[:, None], hb["new_from"], state["from"]),
             "dir": jnp.where(hit[:, None], hb["new_direction"], state["dir"]),
@@ -229,7 +236,7 @@ def trace_paths(
             "distance_mm": jnp.where(
                 hit, state["distance_mm"] + dist_mm, state["distance_mm"]
             ),
-            "alive": hit & (hb["new_intensity"] > eps),
+            "alive": alive_next,
         }
         return new_state, segment
 

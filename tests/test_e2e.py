@@ -95,6 +95,28 @@ def test_many_samples_per_scanline():
     assert np.asarray(out["rf_raw"]).max() > 0
 
 
+def test_time_window_cull_is_output_invariant():
+    """cull_time_window stops tracing once a path leaves the 100us image
+    window; the rendered frame must be bit-identical to tracing all 10
+    depths (the skipped segments' echoes are discarded by the row-bound /
+    t-window guards either way)."""
+    import os
+    from mcray_tpu.config import small_test_config
+    from mcray_tpu.scene.compile import load_and_compile
+
+    scene = os.path.join(
+        os.path.dirname(__file__), "..", "assets", "sphere", "sphere.scene"
+    )
+    frames = {}
+    for cull in (False, True):
+        cfg = small_test_config(transducer_elements=32, cull_time_window=cull)
+        pack = load_and_compile(scene, cfg)
+        out = Simulator(pack, cfg).render_frame(3)
+        frames[cull] = (np.asarray(out["rf_raw"]), np.asarray(out["bmode"]))
+    np.testing.assert_array_equal(frames[False][0], frames[True][0])
+    np.testing.assert_array_equal(frames[False][1], frames[True][1])
+
+
 def test_probe_pose_differentiable(sim):
     import jax.numpy as jnp
 

@@ -30,6 +30,10 @@ def test_trace_matches_sequential_oracle(bug_compat):
         transducer_elements=24,
         samples_per_element=2,
         bug_compat_material_transition=bug_compat,
+        # the oracle ports the reference's cast_rays verbatim, which traces
+        # past the image window (src/scene.cpp:102); disable the
+        # output-invariant window cull so the segment tensors are comparable
+        cull_time_window=False,
     )
     pack = load_and_compile(SCENE, cfg)
     scene = {k: jnp.asarray(v) for k, v in pack.trace_tables().items()}
