@@ -53,16 +53,18 @@ def main() -> int:
     out["bmode"].block_until_ready()
     dt_single = (time.perf_counter() - t0) / frames
 
-    # batched throughput: B Monte-Carlo frames per device call (vmap)
-    batch = 8
-    b = sim.render_batch(range(batch))
-    b.block_until_ready()
+    # batched throughput: lax.scan-chained vmapped renders — n_chain * batch
+    # frames per device call, so the ~2-30 ms tunnelled-dispatch latency is
+    # amortised away and the number measures DEVICE throughput
+    batch, n_chain = 8, 4
+    chained = sim.make_chained_batch(batch, n_chain)
+    chained(0).block_until_ready()  # compile + warm
+    reps = 2
     t0 = time.perf_counter()
-    reps = 4
     for i in range(reps):
-        b = sim.render_batch(range(i, i + batch))
+        b = chained(i + 1)
     b.block_until_ready()
-    dt = (time.perf_counter() - t0) / (reps * batch)
+    dt = (time.perf_counter() - t0) / (reps * n_chain * batch)
 
     rays_per_s = sim.rays_per_frame / dt
 
@@ -73,13 +75,13 @@ def main() -> int:
     try:
         pack_hd = load_and_compile("assets/ircad11_hd/santi-liver-hd.scene", cfg)
         sim_hd = Simulator(pack_hd, cfg)
-        b = sim_hd.render_batch(range(batch))
-        b.block_until_ready()
+        chained_hd = sim_hd.make_chained_batch(batch, 2)
+        chained_hd(0).block_until_ready()
         t0 = time.perf_counter()
         for i in range(2):
-            b = sim_hd.render_batch(range(i, i + batch))
+            b = chained_hd(i + 1)
         b.block_until_ready()
-        dt_hd = (time.perf_counter() - t0) / (2 * batch)
+        dt_hd = (time.perf_counter() - t0) / (2 * 2 * batch)
         hd_extra = {
             "ircad_hd_triangles": pack_hd.n_triangles,
             "ircad_hd_rays_per_s": round(sim_hd.rays_per_frame / dt_hd),

@@ -552,6 +552,45 @@ class Simulator:
 
         self._render_seeded = _render_seeded
 
+    def make_chained_batch(self, batch: int, n_chain: int):
+        """Build a jitted ``fn(seed0) -> (B, H, W)`` that renders
+        ``n_chain * batch`` frames in ONE device call: a ``lax.scan`` over
+        vmapped frame renders, with each step's keys derived from a
+        data-dependent carry so XLA can neither elide nor reorder steps.
+
+        Benchmarks use this to measure device throughput with host->device
+        dispatch amortised to nothing — through the tunnelled TPU a single
+        dispatch costs ~2-30 ms, which at ~5 ms/frame otherwise dominates
+        the measurement (scripts/stage_profile.py shows the same effect).
+        """
+        render = self._render
+        mat = self.materials
+        pos = jnp.asarray(self.pack.transducer_position)
+        ang = jnp.asarray(self.pack.transducer_angles)
+        cfg_h = hash(self.cfg)
+
+        @jax.jit
+        def run(seed0):
+            key = jax.random.PRNGKey(seed0)
+
+            def step(carry, i):
+                ids = carry + i * batch + jnp.arange(batch, dtype=jnp.uint32)
+                keys = jax.vmap(jax.random.fold_in, (None, 0))(key, ids)
+                bm = jax.vmap(
+                    lambda k: render(k, mat, pos, ang, cfg_h)["bmode"]
+                )(keys)
+                # fold an (always-zero but data-dependent) term into the
+                # next step's key ids: a true serial dependence chain
+                dep = (jnp.abs(bm[0, 0, 0]) * 1e-30).astype(jnp.uint32)
+                return carry + dep, bm
+
+            _, frames = jax.lax.scan(
+                step, jnp.uint32(0), jnp.arange(n_chain, dtype=jnp.uint32)
+            )
+            return frames[-1]
+
+        return run
+
     def render_batch(self, seeds, materials=None, position=None, angles=None):
         """Render many MC frames in ONE device call (vmap over seeds) —
         amortises per-call dispatch and pipelines the kernels; the throughput
