@@ -79,15 +79,15 @@ def main() -> int:
 
     if sim.culled_tris is not None:
         packed, mode = sim.culled_tris
-        fn = {
+        ifn = {
             "culled": I.intersect_closest_culled,
             "staged": I.intersect_closest_staged,
             "listed": I.intersect_closest_listed,
         }[mode]
         if packed.n_clusters >= 32:
-            isect = lambda o, s: I.intersect_sorted(fn, o, s, packed)
+            isect = lambda o, s: I.intersect_sorted(ifn, o, s, packed)
         else:
-            isect = lambda o, s: fn(o, s, packed)
+            isect = lambda o, s: ifn(o, s, packed)
     else:
         isect = lambda o, s: I.intersect_closest_pallas(
             o, s, sim.scene["tris"], sim.scene["tri_mesh_id"]
@@ -149,11 +149,11 @@ def main() -> int:
         ("intersect_x10", chain(intersect_chain, lambda c, o, s: (o + c, s)), (origins, seg_vecs)),
         ("physics_only", chain(trace_nohit, lambda c, k, m: (jax.random.fold_in(k, c.astype(jnp.int32)), m + c)), (key, materials)),
     ]
-    for name, fn, inputs in cases:
-        out = jax.block_until_ready(fn(*inputs))
+    for name, cfn, inputs in cases:
+        out = jax.block_until_ready(cfn(*inputs))
         t0 = time.perf_counter()
         for _ in range(args.reps):
-            out = jax.block_until_ready(fn(*inputs))
+            out = jax.block_until_ready(cfn(*inputs))
         dt = (time.perf_counter() - t0) / (args.reps * args.inner)
         print(f"{name:>14}: {dt*1e3:8.2f} ms", flush=True)
     return 0
