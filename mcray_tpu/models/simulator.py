@@ -69,6 +69,8 @@ def trace_paths(
     use_pallas_intersect: bool = False,
     packet_bvh: dict | None = None,
     culled_tris=None,
+    intersect_tile_r: int = 128,
+    sort_packets: bool = False,
     elements: tuple[Array, Array, Array, Array] | None = None,
 ) -> dict[str, Array]:
     """Monte-Carlo path tracing for all R*S paths; returns the dense segment
@@ -153,10 +155,15 @@ def trace_paths(
                 "staged": I.intersect_closest_staged,
                 "listed": I.intersect_closest_listed,
             }[mode]
-            if packed.n_clusters >= 32:
-                # coherence-sort bounced rays into tight packets so the
-                # per-packet AABB pruning bites (small scenes: the argsort
-                # costs more than the few clusters it would skip)
+            fn = functools.partial(fn, tile_r=intersect_tile_r)
+            if sort_packets:
+                # coherence-sort rays into tight packets (opt-in: element
+                # order is already coherent for traced rays, and the argsort
+                # + unsort gather costs more than the clusters it skips —
+                # measured +1.9 ms/frame on the 123k-tri HD scene,
+                # scripts/hd_batched_probe.py. Worth re-enabling only for
+                # genuinely incoherent ray sets, e.g. stress_bench's
+                # isotropic rays where it cuts cluster survival 4x)
                 hits = I.intersect_sorted(fn, origin, seg_vec, packed)
             else:
                 hits = fn(origin, seg_vec, packed)
@@ -404,6 +411,8 @@ class Simulator:
         use_culled_intersect: bool | None = None,
         use_pallas_scanconv: bool | None = None,
         intersect_mode: str | None = None,
+        intersect_tile_r: int | None = None,
+        sort_packets: bool = False,
     ):
         self.cfg = cfg
         self.pack = pack
@@ -466,6 +475,14 @@ class Simulator:
             self.culled_tris = (packed, intersect_mode)
             self.use_bvh = False
             self.use_pallas_intersect = False
+        if intersect_tile_r is None:
+            # wider ray packets amortise Mosaic grid-step overhead; measured
+            # best at 512 for both the culled (sphere: 5.04 -> 4.86 ms trace)
+            # and listed (HD batch8: 5.63 -> 5.32 ms/frame) kernels
+            # (scripts/intersect_tile_sweep.py, scripts/hd_batched_probe.py)
+            intersect_tile_r = 512 if self.culled_tris is not None else 128
+        self.intersect_tile_r = intersect_tile_r
+        self.sort_packets = sort_packets
         # packet-BVH path: explicit opt-in (interpret-verified; compiled TPU
         # profile still pending — the scalar-heavy traversal loop compiles
         # slowly under Mosaic); jnp while_loop traversal is the default BVH
@@ -527,6 +544,8 @@ class Simulator:
                 use_pallas_intersect=self.use_pallas_intersect,
                 packet_bvh=self.packet_bvh,
                 culled_tris=self.culled_tris,
+                intersect_tile_r=self.intersect_tile_r,
+                sort_packets=self.sort_packets,
             )
 
         self._render = _render

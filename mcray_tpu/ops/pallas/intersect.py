@@ -34,29 +34,31 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..geometry import NO_HIT_T, _moller_trumbore, normalize
 
-TILE_R = 128   # rays per tile (lanes)
+TILE_R = 128   # default rays per tile (lanes); wrappers accept tile_r overrides
 TILE_T = 256   # triangles per tile (sublanes)
 
 
 def _intersect_kernel(rays_ref, tris_ref, t_ref, idx_ref, *, eps: float):
     j = pl.program_id(1)
+    tile_r = rays_ref.shape[1]
+    tile_t = tris_ref.shape[1]
 
     @pl.when(j == 0)
     def _():
         t_ref[:] = jnp.full_like(t_ref, NO_HIT_T)
         idx_ref[:] = jnp.zeros_like(idx_ref)
 
-    # rays: (6, TILE_R) [ox oy oz sx sy sz]; broadcast rows over sublanes
-    ox = rays_ref[0, :].reshape(1, TILE_R)
-    oy = rays_ref[1, :].reshape(1, TILE_R)
-    oz = rays_ref[2, :].reshape(1, TILE_R)
-    sx = rays_ref[3, :].reshape(1, TILE_R)
-    sy = rays_ref[4, :].reshape(1, TILE_R)
-    sz = rays_ref[5, :].reshape(1, TILE_R)
+    # rays: (6, tile_r) [ox oy oz sx sy sz]; broadcast rows over sublanes
+    ox = rays_ref[0, :].reshape(1, tile_r)
+    oy = rays_ref[1, :].reshape(1, tile_r)
+    oz = rays_ref[2, :].reshape(1, tile_r)
+    sx = rays_ref[3, :].reshape(1, tile_r)
+    sy = rays_ref[4, :].reshape(1, tile_r)
+    sz = rays_ref[5, :].reshape(1, tile_r)
 
-    # tris: (9, TILE_T) [v0 e1 e2 xyz]; broadcast columns over lanes
+    # tris: (9, tile_t) [v0 e1 e2 xyz]; broadcast columns over lanes
     def trow(f):
-        return tris_ref[f, :].reshape(TILE_T, 1)
+        return tris_ref[f, :].reshape(tile_t, 1)
 
     v0x, v0y, v0z = trow(0), trow(1), trow(2)
     e1x, e1y, e1z = trow(3), trow(4), trow(5)
@@ -82,14 +84,14 @@ def _intersect_kernel(rays_ref, tris_ref, t_ref, idx_ref, *, eps: float):
     t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
 
     valid = det_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 0.0) & (t < 1.0)
-    t = jnp.where(valid, t, NO_HIT_T)  # (TILE_T, TILE_R)
+    t = jnp.where(valid, t, NO_HIT_T)  # (tile_t, tile_r)
 
-    tmin = jnp.min(t, axis=0, keepdims=True)          # (1, TILE_R)
-    targ = jnp.argmin(t, axis=0).reshape(1, TILE_R)   # (1, TILE_R)
+    tmin = jnp.min(t, axis=0, keepdims=True)          # (1, tile_r)
+    targ = jnp.argmin(t, axis=0).reshape(1, tile_r)   # (1, tile_r)
 
     better = tmin < t_ref[:]
     t_ref[:] = jnp.where(better, tmin, t_ref[:])
-    idx_ref[:] = jnp.where(better, j * TILE_T + targ, idx_ref[:])
+    idx_ref[:] = jnp.where(better, j * tile_t + targ, idx_ref[:])
 
 
 def intersect_closest_pallas(
@@ -100,10 +102,11 @@ def intersect_closest_pallas(
     *,
     interpret: bool = False,
     eps: float = 1e-9,
+    tile_r: int = TILE_R,
 ):
     n = origins.shape[0]
     t_count = tris.shape[0]
-    n_pad = (-n) % TILE_R
+    n_pad = (-n) % tile_r
     t_pad = (-t_count) % TILE_T
 
     rays = jnp.concatenate([origins, seg_vecs], axis=1).T  # (6, N)
@@ -119,19 +122,19 @@ def intersect_closest_pallas(
 
     n_tot = n + n_pad
     t_tot = t_count + t_pad
-    grid = (n_tot // TILE_R, t_tot // TILE_T)
+    grid = (n_tot // tile_r, t_tot // TILE_T)
 
     kernel = functools.partial(_intersect_kernel, eps=eps)
     best_t, best_idx = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((6, TILE_R), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, tile_r), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((9, TILE_T), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, TILE_R), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_R), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_r), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_r), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((1, n_tot), jnp.float32),
@@ -399,15 +402,16 @@ def _intersect_staged_kernel(
     closest hit. HBM traffic and compute scale with the surviving-cluster
     count instead of the scene size — the static-shape analogue of ordered
     BVH descent (replaces Bullet's rayTest, reference src/scene.cpp:115-117)."""
+    tile_r = rays_ref.shape[1]
     t_ref[:] = jnp.full_like(t_ref, NO_HIT_T)
     idx_ref[:] = jnp.zeros_like(idx_ref)
 
-    ox = rays_ref[0, :].reshape(1, TILE_R)
-    oy = rays_ref[1, :].reshape(1, TILE_R)
-    oz = rays_ref[2, :].reshape(1, TILE_R)
-    sx = rays_ref[3, :].reshape(1, TILE_R)
-    sy = rays_ref[4, :].reshape(1, TILE_R)
-    sz = rays_ref[5, :].reshape(1, TILE_R)
+    ox = rays_ref[0, :].reshape(1, tile_r)
+    oy = rays_ref[1, :].reshape(1, tile_r)
+    oz = rays_ref[2, :].reshape(1, tile_r)
+    sx = rays_ref[3, :].reshape(1, tile_r)
+    sy = rays_ref[4, :].reshape(1, tile_r)
+    sz = rays_ref[5, :].reshape(1, tile_r)
 
     big = jnp.float32(1e30)
 
@@ -488,7 +492,7 @@ def _intersect_staged_kernel(
                     t = jnp.where(valid, t, NO_HIT_T)
 
                     tmin = jnp.min(t, axis=0, keepdims=True)
-                    targ = jnp.argmin(t, axis=0).reshape(1, TILE_R)
+                    targ = jnp.argmin(t, axis=0).reshape(1, tile_r)
 
                     better = tmin < t_ref[:]
                     t_ref[:] = jnp.where(better, tmin, t_ref[:])
@@ -511,12 +515,13 @@ def intersect_closest_staged(
     *,
     interpret: bool = False,
     eps: float = 1e-9,
+    tile_r: int = TILE_R,
 ):
     """Closest hit via the two-level staged kernel; same contract (and the
     same gradient transparency) as intersect_closest_culled."""
     assert packed.tile_t == TILE_T, "staged kernel requires the default tile_t"
     n = origins.shape[0]
-    n_pad = (-n) % TILE_R
+    n_pad = (-n) % tile_r
     rays = jnp.concatenate([origins, seg_vecs], axis=1).T
     if n_pad:
         rays = jnp.pad(rays, ((0, 0), (0, n_pad)))
@@ -527,16 +532,16 @@ def intersect_closest_staged(
     )
     best_t, best_slot = pl.pallas_call(
         kernel,
-        grid=(n_tot // TILE_R,),
+        grid=(n_tot // tile_r,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((6, TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, tile_r), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((1, TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_r), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_r), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((1, n_tot), jnp.float32),
@@ -582,10 +587,10 @@ def intersect_closest_staged(
     }
 
 
-def _packet_cluster_lists(origins, seg_vecs, packed: CulledTris):
+def _packet_cluster_lists(origins, seg_vecs, packed: CulledTris, tile_r: int = TILE_R):
     """Per-packet surviving-cluster lists, computed vectorised in jnp.
 
-    For each TILE_R-ray packet, slab-test every ray against every cluster
+    For each tile_r-ray packet, slab-test every ray against every cluster
     AABB (one dense (P, R, C) elementwise pass — XLA fuses it, no kernel
     needed) and emit, per packet:
 
@@ -602,9 +607,9 @@ def _packet_cluster_lists(origins, seg_vecs, packed: CulledTris):
     the serial per-packet loop touches exactly the surviving clusters.
     """
     n = origins.shape[0]
-    p = n // TILE_R
-    o = origins.reshape(p, TILE_R, 1, 3)
-    s = seg_vecs.reshape(p, TILE_R, 1, 3)
+    p = n // tile_r
+    o = origins.reshape(p, tile_r, 1, 3)
+    s = seg_vecs.reshape(p, tile_r, 1, 3)
     aabb = packed.aabb_cluster  # (C, 8)
     lo = aabb[None, None, :, 0:3]
     hi = aabb[None, None, :, 3:6]
@@ -643,17 +648,18 @@ def _intersect_listed_kernel(
     on it. Front-to-back list order (see _packet_cluster_lists) makes that
     re-check kill most of the tail after the first real hit."""
     p = pl.program_id(0)
+    tile_r = rays_ref.shape[1]
     t_ref[:] = jnp.full_like(t_ref, NO_HIT_T)
     idx_ref[:] = jnp.zeros_like(idx_ref)
 
     n = counts_ref[p, 0]
 
-    ox = rays_ref[0, :].reshape(1, TILE_R)
-    oy = rays_ref[1, :].reshape(1, TILE_R)
-    oz = rays_ref[2, :].reshape(1, TILE_R)
-    sx = rays_ref[3, :].reshape(1, TILE_R)
-    sy = rays_ref[4, :].reshape(1, TILE_R)
-    sz = rays_ref[5, :].reshape(1, TILE_R)
+    ox = rays_ref[0, :].reshape(1, tile_r)
+    oy = rays_ref[1, :].reshape(1, tile_r)
+    oz = rays_ref[2, :].reshape(1, tile_r)
+    sx = rays_ref[3, :].reshape(1, tile_r)
+    sy = rays_ref[4, :].reshape(1, tile_r)
+    sz = rays_ref[5, :].reshape(1, tile_r)
 
     big = jnp.float32(1e30)
 
@@ -743,7 +749,7 @@ def _intersect_listed_kernel(
             t = jnp.where(valid, t, NO_HIT_T)
 
             tmin = jnp.min(t, axis=0, keepdims=True)
-            targ = jnp.argmin(t, axis=0).reshape(1, TILE_R)
+            targ = jnp.argmin(t, axis=0).reshape(1, tile_r)
 
             better = tmin < t_ref[:]
             t_ref[:] = jnp.where(better, tmin, t_ref[:])
@@ -761,13 +767,14 @@ def intersect_closest_listed(
     *,
     interpret: bool = False,
     eps: float = 1e-9,
+    tile_r: int = TILE_R,
 ):
     """Closest hit via the list-driven kernel (see _packet_cluster_lists /
     _intersect_listed_kernel); same contract and gradient transparency as
     intersect_closest_culled. Rays should be coherence-sorted first
     (intersect_sorted) so packets are tight."""
     n = origins.shape[0]
-    n_pad = (-n) % TILE_R
+    n_pad = (-n) % tile_r
     o_ng = jax.lax.stop_gradient(origins)
     s_ng = jax.lax.stop_gradient(seg_vecs)
     rays = jnp.concatenate([o_ng, s_ng], axis=1).T
@@ -781,23 +788,23 @@ def intersect_closest_listed(
         s_pad = jnp.pad(s_ng, ((0, n_pad), (0, 0)))
     else:
         o_pad, s_pad = o_ng, s_ng
-    counts, ids = _packet_cluster_lists(o_pad, s_pad, packed)
+    counts, ids = _packet_cluster_lists(o_pad, s_pad, packed, tile_r=tile_r)
 
     kernel = functools.partial(
         _intersect_listed_kernel, eps=eps, tile_t=packed.tile_t
     )
     best_t, best_slot = pl.pallas_call(
         kernel,
-        grid=(n_tot // TILE_R,),
+        grid=(n_tot // tile_r,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((6, TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, tile_r), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((1, TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_r), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_r), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((1, n_tot), jnp.float32),
@@ -845,18 +852,20 @@ def intersect_closest_listed(
 
 def _intersect_culled_kernel(rays_ref, tris_ref, t_ref, idx_ref, *, eps: float):
     j = pl.program_id(1)
+    tile_r = rays_ref.shape[1]
+    tile_t = tris_ref.shape[1]
 
     @pl.when(j == 0)
     def _():
         t_ref[:] = jnp.full_like(t_ref, NO_HIT_T)
         idx_ref[:] = jnp.zeros_like(idx_ref)
 
-    ox = rays_ref[0, :].reshape(1, TILE_R)
-    oy = rays_ref[1, :].reshape(1, TILE_R)
-    oz = rays_ref[2, :].reshape(1, TILE_R)
-    sx = rays_ref[3, :].reshape(1, TILE_R)
-    sy = rays_ref[4, :].reshape(1, TILE_R)
-    sz = rays_ref[5, :].reshape(1, TILE_R)
+    ox = rays_ref[0, :].reshape(1, tile_r)
+    oy = rays_ref[1, :].reshape(1, tile_r)
+    oz = rays_ref[2, :].reshape(1, tile_r)
+    sx = rays_ref[3, :].reshape(1, tile_r)
+    sy = rays_ref[4, :].reshape(1, tile_r)
+    sz = rays_ref[5, :].reshape(1, tile_r)
 
     big = jnp.float32(1e30)
 
@@ -888,7 +897,7 @@ def _intersect_culled_kernel(rays_ref, tris_ref, t_ref, idx_ref, *, eps: float):
     @pl.when(jnp.any(active))
     def _():
         def trow(f):
-            return tris_ref[f, :].reshape(TILE_T, 1)
+            return tris_ref[f, :].reshape(tile_t, 1)
 
         v0x, v0y, v0z = trow(0), trow(1), trow(2)
         e1x, e1y, e1z = trow(3), trow(4), trow(5)
@@ -917,11 +926,11 @@ def _intersect_culled_kernel(rays_ref, tris_ref, t_ref, idx_ref, *, eps: float):
         t = jnp.where(valid, t, NO_HIT_T)
 
         tmin = jnp.min(t, axis=0, keepdims=True)
-        targ = jnp.argmin(t, axis=0).reshape(1, TILE_R)
+        targ = jnp.argmin(t, axis=0).reshape(1, tile_r)
 
         better = tmin < t_ref[:]
         t_ref[:] = jnp.where(better, tmin, t_ref[:])
-        idx_ref[:] = jnp.where(better, j * TILE_T + targ, idx_ref[:])
+        idx_ref[:] = jnp.where(better, j * tile_t + targ, idx_ref[:])
 
 
 def intersect_closest_culled(
@@ -931,32 +940,32 @@ def intersect_closest_culled(
     *,
     interpret: bool = False,
     eps: float = 1e-9,
+    tile_r: int = TILE_R,
 ):
     """Closest hit over cluster-culled triangle tiles; same contract as
     intersect_closest. Winning index is a slot in cluster order; the normal
     and mesh id are gathered from the pre-permuted slot tables."""
-    assert packed.tile_t == TILE_T, "culled kernel requires the default tile_t"
     n = origins.shape[0]
-    n_pad = (-n) % TILE_R
+    n_pad = (-n) % tile_r
     rays = jnp.concatenate([origins, seg_vecs], axis=1).T
     if n_pad:
         rays = jnp.pad(rays, ((0, 0), (0, n_pad)))
     n_tot = n + n_pad
-    grid = (n_tot // TILE_R, packed.n_slots // TILE_T)
+    grid = (n_tot // tile_r, packed.n_slots // packed.tile_t)
 
     kernel = functools.partial(_intersect_culled_kernel, eps=eps)
     best_t, best_slot = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((6, TILE_R), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, tile_r), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (SOA_ROWS, TILE_T), lambda i, j: (0, j), memory_space=pltpu.VMEM
+                (SOA_ROWS, packed.tile_t), lambda i, j: (0, j), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=(
-            pl.BlockSpec((1, TILE_R), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_R), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_r), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_r), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((1, n_tot), jnp.float32),

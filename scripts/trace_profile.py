@@ -11,6 +11,7 @@ RNG and segment bookkeeping cost.
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -58,6 +59,8 @@ def main() -> int:
         use_pallas_intersect=sim.use_pallas_intersect,
         packet_bvh=sim.packet_bvh,
         culled_tris=sim.culled_tris,
+        intersect_tile_r=sim.intersect_tile_r,
+        sort_packets=sim.sort_packets,
     )
 
     def trace_fn(key, materials):
@@ -84,7 +87,8 @@ def main() -> int:
             "staged": I.intersect_closest_staged,
             "listed": I.intersect_closest_listed,
         }[mode]
-        if packed.n_clusters >= 32:
+        ifn = functools.partial(ifn, tile_r=sim.intersect_tile_r)
+        if sim.sort_packets:
             isect = lambda o, s: I.intersect_sorted(ifn, o, s, packed)
         else:
             isect = lambda o, s: ifn(o, s, packed)
