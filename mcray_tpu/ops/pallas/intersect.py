@@ -587,7 +587,73 @@ def intersect_closest_staged(
     }
 
 
-def _packet_cluster_lists(origins, seg_vecs, packed: CulledTris, tile_r: int = TILE_R):
+def _packet_cluster_lists_frustum(origins, seg_vecs, packed: CulledTris, tile_r):
+    """Conservative per-PACKET cluster lists via interval arithmetic — the
+    cheap replacement for the dense per-ray prepass, whose (P, R, C) slab
+    pass dominates listed-kernel time at large C (measured 3.4 ms of a
+    4.1 ms 200k-tri query, scripts/listed_split.py).
+
+    Each packet is summarised by componentwise intervals of its live rays'
+    origins and inverse directions; a cluster AABB survives if the interval
+    slab test cannot rule out EVERY ray. For coherence-sorted packets
+    (shared direction octant, Morton-local origins — intersect_sorted) the
+    frustum is close to the exact union; for anything else it is a superset,
+    which the kernel's per-ray in-tile AABB re-check absorbs (extra DMA +
+    slab, no Moller-Trumbore). Returned keys lower-bound every ray's entry
+    t, so the kernel's early-stop stays sound. Same contract as the exact
+    prepass: (counts, ids, keys)."""
+    n = origins.shape[0]
+    p = n // tile_r
+    o = origins.reshape(p, tile_r, 3)
+    s = seg_vecs.reshape(p, tile_r, 3)
+    valid = jnp.sum(jnp.abs(s), axis=-1) > 0.0  # parked dead rays drop out
+    vmask = valid[:, :, None]
+    big = jnp.float32(1e30)
+    ok = jnp.abs(s) > 1e-30
+    inv = jnp.where(ok, 1.0 / jnp.where(ok, s, 1.0), big)
+    o_lo = jnp.min(jnp.where(vmask, o, jnp.inf), axis=1)    # (P, 3)
+    o_hi = jnp.max(jnp.where(vmask, o, -jnp.inf), axis=1)
+    i_lo = jnp.min(jnp.where(vmask, inv, jnp.inf), axis=1)
+    i_hi = jnp.max(jnp.where(vmask, inv, -jnp.inf), axis=1)
+
+    aabb = packed.aabb_cluster  # (C, 8)
+    b_lo = aabb[None, :, 0:3]   # (1, C, 3)
+    b_hi = aabb[None, :, 3:6]
+    near = jnp.inf
+    far = -jnp.inf
+    # interval product (b - o) * inv over the 8 corner combinations: its min
+    # lower-bounds every ray's per-axis slab near t, its max upper-bounds
+    # every ray's far t
+    for bb in (b_lo, b_hi):
+        for oo in (o_lo, o_hi):
+            d = bb - oo[:, None, :]  # (P, C, 3)
+            for ii in (i_lo, i_hi):
+                prod = d * ii[:, None, :]
+                near = jnp.minimum(near, prod)
+                far = jnp.maximum(far, prod)
+    enter_lb = jnp.max(near, axis=-1)  # (P, C)
+    leave_ub = jnp.min(far, axis=-1)
+    any_valid = jnp.any(valid, axis=1)[:, None]
+    any_hit = (
+        (enter_lb <= leave_ub) & (leave_ub > 0.0) & (enter_lb < 1.0) & any_valid
+    )
+    key = jnp.where(any_hit, jnp.maximum(enter_lb, 0.0), jnp.inf)
+    ids = jnp.argsort(key, axis=1).astype(jnp.int32)
+    counts = jnp.sum(any_hit, axis=1, keepdims=True).astype(jnp.int32)
+    keys = jnp.take_along_axis(jnp.where(any_hit, key, NO_HIT_T), ids, axis=1)
+    keys = jnp.minimum(keys, NO_HIT_T).astype(jnp.float32)
+    return counts, ids, keys
+
+
+def _packet_cluster_lists(
+    origins,
+    seg_vecs,
+    packed: CulledTris,
+    tile_r: int = TILE_R,
+    t_cap=None,
+    exclude=None,
+    method: str = "exact",
+):
     """Per-packet surviving-cluster lists, computed vectorised in jnp.
 
     For each tile_r-ray packet, slab-test every ray against every cluster
@@ -600,12 +666,27 @@ def _packet_cluster_lists(origins, seg_vecs, packed: CulledTris, tile_r: int = T
       the kernel's running closest hit tightens after the first few clusters
       and its in-tile AABB re-check then skips the rest of the list's
       Moller-Trumbore work), remaining slots filled with the non-survivors
-      (never visited — the kernel loops only ``counts`` entries).
+      (never visited — the kernel loops only ``counts`` entries),
+    - ``keys``   (P, C) f32 — the sorted packet-min slab entry t per list
+      slot. Because the list is ascending in this key, the kernel can STOP
+      (skip the remaining DMAs outright) as soon as the next slot's key is
+      >= the packet's worst running hit: every ray's entry t into every
+      later cluster is >= that key >= its own best t.
 
     This replaces the staged kernel's in-kernel scan over ALL super/cluster
     boxes per packet: pruning runs once, vectorised, at full VPU width, and
     the serial per-packet loop touches exactly the surviving clusters.
+
+    ``t_cap`` (N,) optionally tightens the per-RAY pruning bound from the
+    segment end (1.0) to each ray's current best hit t — a cluster whose
+    slab entry for a ray is past that ray's best hit cannot contain a
+    closer one, so it drops out of that ray's vote for the packet union
+    (the per-ray pruning the two-pass scheme exploits). ``exclude`` (P, C)
+    marks clusters already visited by an earlier pass.
     """
+    if method == "frustum":
+        assert t_cap is None and exclude is None, "frustum prepass is single-pass"
+        return _packet_cluster_lists_frustum(origins, seg_vecs, packed, tile_r)
     n = origins.shape[0]
     p = n // tile_r
     o = origins.reshape(p, tile_r, 1, 3)
@@ -619,21 +700,32 @@ def _packet_cluster_lists(origins, seg_vecs, packed: CulledTris, tile_r: int = T
     t1 = (hi - o) * inv
     enter = jnp.max(jnp.minimum(t0, t1), axis=-1)  # (P, R, C)
     leave = jnp.min(jnp.maximum(t0, t1), axis=-1)
-    hit = (enter <= leave) & (leave > 0.0) & (enter < 1.0)
+    cap = 1.0 if t_cap is None else jnp.minimum(t_cap, 1.0).reshape(p, tile_r, 1)
+    hit = (enter <= leave) & (leave > 0.0) & (enter < cap)
     any_hit = jnp.any(hit, axis=1)  # (P, C)
+    if exclude is not None:
+        any_hit = any_hit & ~exclude
     key = jnp.min(jnp.where(hit, jnp.maximum(enter, 0.0), jnp.inf), axis=1)
     key = jnp.where(any_hit, key, jnp.inf)
     ids = jnp.argsort(key, axis=1).astype(jnp.int32)  # survivors first, near first
     # counts kept 2-D (P, 1): a 1-D SMEM input would get a (1, P) block under
     # vmap (batched rendering), which Mosaic's block-shape rules reject
     counts = jnp.sum(any_hit, axis=1, keepdims=True).astype(jnp.int32)
-    return counts, ids
+    # sorted keys for the kernel's early-stop test; non-survivor slots get
+    # NO_HIT_T (never read: the loop is bounded by counts, but keep them
+    # inert in case maxt ever reaches NO_HIT_T)
+    keys = jnp.take_along_axis(jnp.where(any_hit, key, NO_HIT_T), ids, axis=1)
+    keys = jnp.minimum(keys, NO_HIT_T).astype(jnp.float32)
+    return counts, ids, keys
 
 
 def _intersect_listed_kernel(
     counts_ref,  # (P, 1) SMEM
     ids_ref,     # (P, C) SMEM — per-packet cluster lists
+    keys_ref,    # (P, C) SMEM — sorted packet-min slab entry t per list slot
     rays_ref,    # (6, TILE_R) VMEM
+    t_init_ref,  # (1, TILE_R) VMEM — running-best init (NO_HIT_T or pass 1's)
+    idx_init_ref,  # (1, TILE_R) VMEM
     tris_hbm,    # (n_clusters, 16, TILE_T) ANY/HBM
     t_ref, idx_ref,   # (1, TILE_R) VMEM outputs
     scratch, sem,     # (2, 16, tile_t) VMEM + (2,) DMA semaphores
@@ -646,11 +738,16 @@ def _intersect_listed_kernel(
     intersecting entry it) and re-checking each tile's AABB (rows 9-14 of the
     DMA'd SoA) against the TIGHTENED running t before spending Moller-Trumbore
     on it. Front-to-back list order (see _packet_cluster_lists) makes that
-    re-check kill most of the tail after the first real hit."""
+    re-check kill most of the tail after the first real hit — and, because
+    the list keys ascend, the loop STOPS OUTRIGHT (no more DMAs) once the
+    next slot's entry t can no longer beat the packet's worst running hit
+    (the static-shape analogue of BVH early termination; prefetch gating
+    uses the one-iteration-stale running t, which only shrinks, so every
+    skip is sound and every started DMA is waited)."""
     p = pl.program_id(0)
     tile_r = rays_ref.shape[1]
-    t_ref[:] = jnp.full_like(t_ref, NO_HIT_T)
-    idx_ref[:] = jnp.zeros_like(idx_ref)
+    t_ref[:] = t_init_ref[:]
+    idx_ref[:] = idx_init_ref[:]
 
     n = counts_ref[p, 0]
 
@@ -676,88 +773,98 @@ def _intersect_listed_kernel(
     def _():
         get_dma(0, ids_ref[p, 0]).start()
 
-    def body(it, _):
+    def body(it, go):
         cur = jax.lax.rem(it, 2)
         nxt = jax.lax.rem(it + 1, 2)
 
-        @pl.when(it + 1 < n)
+        # early-stop: the packet's worst current hit (stale by one cluster —
+        # it only tightens, so skipping on it is sound). Later slots' keys
+        # are >= this slot's, so once one fails they all would.
+        max_t = jnp.max(t_ref[:])
+        want_next = go & (it + 1 < n) & (keys_ref[p, it + 1] < max_t)
+
+        @pl.when(want_next)
         def _():
             get_dma(nxt, ids_ref[p, it + 1]).start()
 
-        c = ids_ref[p, it]
-        get_dma(cur, c).wait()
-
-        # AABB re-check vs the tightened running t (tile rows 9-14)
-        bminx = scratch[cur, 9, 0]
-        bminy = scratch[cur, 10, 0]
-        bminz = scratch[cur, 11, 0]
-        bmaxx = scratch[cur, 12, 0]
-        bmaxy = scratch[cur, 13, 0]
-        bmaxz = scratch[cur, 14, 0]
-        tx0 = (bminx - ox) * ix_
-        tx1 = (bmaxx - ox) * ix_
-        ty0 = (bminy - oy) * iy_
-        ty1 = (bmaxy - oy) * iy_
-        tz0 = (bminz - oz) * iz_
-        tz1 = (bmaxz - oz) * iz_
-        enter = jnp.maximum(
-            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-            jnp.minimum(tz0, tz1),
-        )
-        leave = jnp.minimum(
-            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-            jnp.maximum(tz0, tz1),
-        )
-        active = (enter <= leave) & (leave > 0.0) & (
-            enter < jnp.minimum(t_ref[:], 1.0)
-        )
-
-        @pl.when(jnp.any(active))
+        @pl.when(go)
         def _():
-            def trow(f):
-                return scratch[cur, f, :].reshape(tile_t, 1)
+            c = ids_ref[p, it]
+            get_dma(cur, c).wait()
 
-            v0x, v0y, v0z = trow(0), trow(1), trow(2)
-            e1x, e1y, e1z = trow(3), trow(4), trow(5)
-            e2x, e2y, e2z = trow(6), trow(7), trow(8)
-
-            px = sy * e2z - sz * e2y
-            py = sz * e2x - sx * e2z
-            pz = sx * e2y - sy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            det_ok = jnp.abs(det) > eps
-            inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
-
-            tx = ox - v0x
-            ty = oy - v0y
-            tz = oz - v0z
-            u = (tx * px + ty * py + tz * pz) * inv_det
-            qx = ty * e1z - tz * e1y
-            qy = tz * e1x - tx * e1z
-            qz = tx * e1y - ty * e1x
-            v = (sx * qx + sy * qy + sz * qz) * inv_det
-            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-
-            valid = (
-                det_ok
-                & (u >= 0.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (t > 0.0)
-                & (t < 1.0)
+            # AABB re-check vs the tightened running t (tile rows 9-14)
+            bminx = scratch[cur, 9, 0]
+            bminy = scratch[cur, 10, 0]
+            bminz = scratch[cur, 11, 0]
+            bmaxx = scratch[cur, 12, 0]
+            bmaxy = scratch[cur, 13, 0]
+            bmaxz = scratch[cur, 14, 0]
+            tx0 = (bminx - ox) * ix_
+            tx1 = (bmaxx - ox) * ix_
+            ty0 = (bminy - oy) * iy_
+            ty1 = (bmaxy - oy) * iy_
+            tz0 = (bminz - oz) * iz_
+            tz1 = (bmaxz - oz) * iz_
+            enter = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.minimum(tz0, tz1),
             )
-            t = jnp.where(valid, t, NO_HIT_T)
+            leave = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.maximum(tz0, tz1),
+            )
+            active = (enter <= leave) & (leave > 0.0) & (
+                enter < jnp.minimum(t_ref[:], 1.0)
+            )
 
-            tmin = jnp.min(t, axis=0, keepdims=True)
-            targ = jnp.argmin(t, axis=0).reshape(1, tile_r)
+            @pl.when(jnp.any(active))
+            def _():
+                def trow(f):
+                    return scratch[cur, f, :].reshape(tile_t, 1)
 
-            better = tmin < t_ref[:]
-            t_ref[:] = jnp.where(better, tmin, t_ref[:])
-            idx_ref[:] = jnp.where(better, c * tile_t + targ, idx_ref[:])
+                v0x, v0y, v0z = trow(0), trow(1), trow(2)
+                e1x, e1y, e1z = trow(3), trow(4), trow(5)
+                e2x, e2y, e2z = trow(6), trow(7), trow(8)
 
-        return 0
+                px = sy * e2z - sz * e2y
+                py = sz * e2x - sx * e2z
+                pz = sx * e2y - sy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                det_ok = jnp.abs(det) > eps
+                inv_det = jnp.where(
+                    det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0
+                )
 
-    jax.lax.fori_loop(0, n, body, 0)
+                tx = ox - v0x
+                ty = oy - v0y
+                tz = oz - v0z
+                u = (tx * px + ty * py + tz * pz) * inv_det
+                qx = ty * e1z - tz * e1y
+                qy = tz * e1x - tx * e1z
+                qz = tx * e1y - ty * e1x
+                v = (sx * qx + sy * qy + sz * qz) * inv_det
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+
+                valid = (
+                    det_ok
+                    & (u >= 0.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                    & (t > 0.0)
+                    & (t < 1.0)
+                )
+                t = jnp.where(valid, t, NO_HIT_T)
+
+                tmin = jnp.min(t, axis=0, keepdims=True)
+                targ = jnp.argmin(t, axis=0).reshape(1, tile_r)
+
+                better = tmin < t_ref[:]
+                t_ref[:] = jnp.where(better, tmin, t_ref[:])
+                idx_ref[:] = jnp.where(better, c * tile_t + targ, idx_ref[:])
+
+        return want_next
+
+    jax.lax.fori_loop(0, n, body, n > 0)
 
 
 def intersect_closest_listed(
@@ -768,11 +875,20 @@ def intersect_closest_listed(
     interpret: bool = False,
     eps: float = 1e-9,
     tile_r: int = TILE_R,
+    passes: int = 1,
+    front_k: int = 6,
+    list_method: str = "exact",
 ):
     """Closest hit via the list-driven kernel (see _packet_cluster_lists /
     _intersect_listed_kernel); same contract and gradient transparency as
     intersect_closest_culled. Rays should be coherence-sorted first
-    (intersect_sorted) so packets are tight."""
+    (intersect_sorted) so packets are tight.
+
+    ``passes=2`` splits the visit into (a) the ``front_k`` nearest clusters
+    per packet, then (b) a SECOND prepass where each ray votes with its
+    tightened best t from (a) instead of its segment end — per-ray pruning
+    the packet union cannot express. On dense scenes where most rays hit
+    within the front clusters, pass 2's lists collapse to near-nothing."""
     n = origins.shape[0]
     n_pad = (-n) % tile_r
     o_ng = jax.lax.stop_gradient(origins)
@@ -788,39 +904,68 @@ def intersect_closest_listed(
         s_pad = jnp.pad(s_ng, ((0, n_pad), (0, 0)))
     else:
         o_pad, s_pad = o_ng, s_ng
-    counts, ids = _packet_cluster_lists(o_pad, s_pad, packed, tile_r=tile_r)
 
     kernel = functools.partial(
         _intersect_listed_kernel, eps=eps, tile_t=packed.tile_t
     )
-    best_t, best_slot = pl.pallas_call(
-        kernel,
-        grid=(n_tot // tile_r,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((6, tile_r), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, tile_r), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_r), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((1, n_tot), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_tot), jnp.int32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, 16, packed.tile_t), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        interpret=interpret,
-    )(
-        counts,
-        ids,
-        rays,
-        jax.lax.stop_gradient(packed.hbm_tris),
+
+    def call(counts, ids, keys, t_init, idx_init):
+        return pl.pallas_call(
+            kernel,
+            grid=(n_tot // tile_r,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((6, tile_r), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_r), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_r), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, tile_r), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_r), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((1, n_tot), jnp.float32),
+                jax.ShapeDtypeStruct((1, n_tot), jnp.int32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, 16, packed.tile_t), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(
+            counts,
+            ids,
+            keys,
+            rays,
+            t_init,
+            idx_init,
+            jax.lax.stop_gradient(packed.hbm_tris),
+        )
+
+    counts, ids, keys = _packet_cluster_lists(
+        o_pad, s_pad, packed, tile_r=tile_r, method=list_method
     )
+    t0 = jnp.full((1, n_tot), NO_HIT_T, jnp.float32)
+    i0 = jnp.zeros((1, n_tot), jnp.int32)
+    if passes <= 1:
+        best_t, best_slot = call(counts, ids, keys, t0, i0)
+    else:
+        c1 = jnp.minimum(counts, front_k)
+        bt1, bs1 = call(c1, ids, keys, t0, i0)
+        n_packets = n_tot // tile_r
+        # clusters visited by pass 1 = each packet's first c1 list slots
+        vis_slot = jnp.arange(ids.shape[1], dtype=jnp.int32)[None, :] < c1  # (P, C)
+        visited = jnp.zeros((n_packets, ids.shape[1]), bool).at[
+            jnp.arange(n_packets, dtype=jnp.int32)[:, None], ids
+        ].set(vis_slot)
+        counts2, ids2, keys2 = _packet_cluster_lists(
+            o_pad, s_pad, packed, tile_r=tile_r,
+            t_cap=bt1[0], exclude=visited,
+        )
+        best_t, best_slot = call(counts2, ids2, keys2, bt1, bs1)
 
     hit = best_t[0, :n] < 1.5
     best_slot = jnp.minimum(best_slot[0, :n], packed.n_slots - 1)

@@ -52,6 +52,7 @@ def main() -> int:
     p.add_argument("--interpret", action="store_true", help="CPU interpret mode (correctness only)")
     p.add_argument("--packet", action="store_true", help="also time the packet-BVH kernel (slow Mosaic compile)")
     p.add_argument("--platform", default=None)
+    p.add_argument("--front_k", type=int, default=6, help="pass-1 cluster budget for the two-pass listed kernel")
     args = p.parse_args()
 
     import jax
@@ -152,9 +153,19 @@ def main() -> int:
             )["t"]
         )
 
+        sorted_listed2 = inner_batched(
+            lambda o, s: intersect_sorted(
+                lambda oo, ss, p: intersect_closest_listed(
+                    oo, ss, p, interpret=args.interpret, passes=2, front_k=args.front_k
+                ),
+                o, s, culled128,
+            )["t"]
+        )
+
         candidates = [("brute", brute), ("culled", cull), ("staged", staged),
                       ("staged+sort", sorted_staged), ("listed+sort", sorted_listed),
-                      ("listed128+sort", sorted_listed128)]
+                      ("listed128+sort", sorted_listed128),
+                      ("listed2x128+sort", sorted_listed2)]
         if args.packet:
             candidates.append(("packet-bvh", packet))
         results = {}
@@ -179,7 +190,7 @@ def main() -> int:
 
         # bounce-like incoherent rays
         results_b = {}
-        for name, fn in [("brute", brute), ("staged", staged), ("staged+sort", sorted_staged), ("listed+sort", sorted_listed), ("listed128+sort", sorted_listed128)]:
+        for name, fn in [("brute", brute), ("staged", staged), ("staged+sort", sorted_staged), ("listed+sort", sorted_listed), ("listed128+sort", sorted_listed128), ("listed2x128+sort", sorted_listed2)]:
             out = jax.block_until_ready(fn(ob, sb))
             t0 = time.perf_counter()
             for _ in range(args.reps):

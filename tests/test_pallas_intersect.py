@@ -160,6 +160,85 @@ def test_listed_intersect_matches_jnp(rng):
         )
 
 
+def test_listed_two_pass_matches_jnp(rng):
+    """passes=2 (front clusters, then per-ray-capped second prepass) must be
+    exact: a cluster whose slab entry is past a ray's pass-1 best t cannot
+    hold a closer hit, so pruning on it never changes the closest hit."""
+    from mcray_tpu.ops.bvh import build_bvh
+    from mcray_tpu.ops.pallas.intersect import (
+        intersect_closest_listed,
+        pack_tris_culled,
+    )
+
+    tris, mid = _random_scene(rng, 900)
+    bvh = build_bvh(np.asarray(tris))
+    packed = pack_tris_culled(
+        np.asarray(tris), np.asarray(mid), bvh.tri_order, tile_t=128
+    )
+    n = 300
+    # mix of hitting rays (toward the cloud) and sure misses (away from it)
+    o = jnp.asarray(rng.uniform(-8, 8, (n, 3)), jnp.float32)
+    seg = jnp.asarray(rng.standard_normal((n, 3)) * 9, jnp.float32)
+    a = intersect_closest(o, seg, tris, mid)
+    for front_k in (1, 3, 64):
+        b = intersect_closest_listed(
+            o, seg, packed, interpret=True, passes=2, front_k=front_k
+        )
+        np.testing.assert_array_equal(np.asarray(a["hit"]), np.asarray(b["hit"]))
+        np.testing.assert_allclose(
+            np.asarray(a["t"]), np.asarray(b["t"]), rtol=1e-5, atol=1e-7
+        )
+        hit = np.asarray(a["hit"])
+        np.testing.assert_array_equal(
+            np.asarray(a["mesh_id"])[hit], np.asarray(b["mesh_id"])[hit]
+        )
+
+
+def test_listed_frustum_prepass_matches_jnp(rng):
+    """The interval-arithmetic packet prepass must list a SUPERSET of the
+    exact per-ray lists, and the kernel result must stay exact (per-ray
+    AABB re-check absorbs the extras). Includes parked dead rays."""
+    from mcray_tpu.ops.bvh import build_bvh
+    from mcray_tpu.ops.pallas.intersect import (
+        _packet_cluster_lists,
+        intersect_closest_listed,
+        intersect_sorted,
+        pack_tris_culled,
+    )
+
+    tris, mid = _random_scene(rng, 900)
+    bvh = build_bvh(np.asarray(tris))
+    packed = pack_tris_culled(
+        np.asarray(tris), np.asarray(mid), bvh.tri_order, tile_t=128
+    )
+    n = 256
+    o = np.asarray(rng.uniform(-8, 8, (n, 3)), np.float32)
+    seg = np.asarray(rng.standard_normal((n, 3)) * 9, np.float32)
+    # park a handful of dead rays exactly as the bounce loop does
+    o[::17] = 1e9
+    seg[::17] = 0.0
+    o, seg = jnp.asarray(o), jnp.asarray(seg)
+
+    ce, ide, _ = _packet_cluster_lists(o, seg, packed, tile_r=128)
+    cf, idf, _ = _packet_cluster_lists(o, seg, packed, tile_r=128, method="frustum")
+    for p in range(int(ce.shape[0])):
+        exact = set(np.asarray(ide)[p, : int(ce[p, 0])].tolist())
+        frus = set(np.asarray(idf)[p, : int(cf[p, 0])].tolist())
+        assert exact <= frus, f"packet {p}: frustum list missed {exact - frus}"
+
+    a = intersect_closest(o, seg, tris, mid)
+    b = intersect_sorted(
+        lambda oo, ss, p2: intersect_closest_listed(
+            oo, ss, p2, interpret=True, list_method="frustum"
+        ),
+        o, seg, packed,
+    )
+    np.testing.assert_array_equal(np.asarray(a["hit"]), np.asarray(b["hit"]))
+    np.testing.assert_allclose(
+        np.asarray(a["t"]), np.asarray(b["t"]), rtol=1e-5, atol=1e-7
+    )
+
+
 def test_listed_intersect_no_hits_and_dead_rays(rng):
     """Empty per-packet lists (no survivors) and parked dead rays (zero
     segment at 1e9 — the bounce loop's dead-ray convention) return misses."""
