@@ -779,9 +779,15 @@ def _intersect_listed_kernel(
 
         # early-stop: the packet's worst current hit (stale by one cluster —
         # it only tightens, so skipping on it is sound). Later slots' keys
-        # are >= this slot's, so once one fails they all would.
+        # are >= this slot's, so once one fails they all would. Inert lanes
+        # (padding / parked dead rays) carry t_init == 0.0 so they cannot
+        # pin max_t at NO_HIT_T and defeat the stop (see the wrapper's
+        # live-lane mask). The lookahead index is clamped: at the final
+        # iteration of a full list (n == C) column C would be out of
+        # bounds in SMEM; the clamped read is discarded by `it + 1 < n`.
         max_t = jnp.max(t_ref[:])
-        want_next = go & (it + 1 < n) & (keys_ref[p, it + 1] < max_t)
+        nxt_slot = jnp.minimum(it + 1, keys_ref.shape[1] - 1)
+        want_next = go & (it + 1 < n) & (keys_ref[p, nxt_slot] < max_t)
 
         @pl.when(want_next)
         def _():
@@ -948,7 +954,15 @@ def intersect_closest_listed(
     counts, ids, keys = _packet_cluster_lists(
         o_pad, s_pad, packed, tile_r=tile_r, method=list_method
     )
-    t0 = jnp.full((1, n_tot), NO_HIT_T, jnp.float32)
+    # Inert lanes (zero seg_vec: padding and parked dead rays) start at
+    # t == 0.0 instead of NO_HIT_T. They can never update (zero direction
+    # gives det == 0 in Moller-Trumbore and fails the AABB re-check's
+    # `leave > 0`), and at NO_HIT_T they would pin the kernel's
+    # max(t_ref) early-stop reduction at 2.0 — every survivor key is < 1,
+    # so one inert lane per packet would disable early termination for
+    # the whole packet (ADVICE r3). `hit` re-masks them below.
+    live = jnp.sum(jnp.abs(s_pad), axis=1) > 0.0  # (n_tot,)
+    t0 = jnp.where(live, NO_HIT_T, 0.0).reshape(1, n_tot).astype(jnp.float32)
     i0 = jnp.zeros((1, n_tot), jnp.int32)
     if passes <= 1:
         best_t, best_slot = call(counts, ids, keys, t0, i0)
@@ -967,7 +981,9 @@ def intersect_closest_listed(
         )
         best_t, best_slot = call(counts2, ids2, keys2, bt1, bs1)
 
-    hit = best_t[0, :n] < 1.5
+    # live-mask: inert lanes exit the kernel at their 0.0 init, which would
+    # otherwise read as a (bogus) hit under `t < 1.5`
+    hit = live[:n] & (best_t[0, :n] < 1.5)
     best_slot = jnp.minimum(best_slot[0, :n], packed.n_slots - 1)
     t_diff, _ = _moller_trumbore(
         origins,
