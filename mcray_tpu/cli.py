@@ -114,7 +114,10 @@ def render_main(argv) -> int:
     for i in range(args.frames):
         t0 = time.perf_counter()
         out = sim.render_frame(seed=args.seed + i)
-        out["bmode"].block_until_ready()
+        # fetch one pixel: block_until_ready does not reliably synchronise
+        # through the tunnelled remote backend (async enqueue returns
+        # immediately), so dt measures actual host availability of the frame
+        _ = float(out["bmode"][0, 0])
         dt = time.perf_counter() - t0
         if i == 0:
             t_first = dt
@@ -340,17 +343,22 @@ def fit_main(argv) -> int:
     # default on TPU (use --no-pallas to compare against the jnp pipeline)
     sim = Simulator(pack, cfg, use_pallas_march=False if args.no_pallas else None)
 
-    def render(key, materials):
-        out = sim._render(
-            key, materials,
-            jnp.asarray(pack.transducer_position), jnp.asarray(pack.transducer_angles),
-            hash(cfg),
+    # pose as numpy closures (inlined HLO constants); the simulator's device
+    # state rides the fitter's render_args so nothing jitted captures a live
+    # device array (see Simulator's state-threading note)
+    pos_np = np.asarray(pack.transducer_position, np.float32)
+    ang_np = np.asarray(pack.transducer_angles, np.float32)
+
+    def render(key, materials, state):
+        out = sim._render_impl(
+            key, materials, jnp.asarray(pos_np), jnp.asarray(ang_np), state
         )
         return out["bmode"]
 
     key = jax.random.PRNGKey(args.seed)
     true_val = float(pack.materials[row, col])
-    target = render(key, jnp.asarray(pack.materials))
+    target = sim._render(key, jnp.asarray(pack.materials),
+                         jnp.asarray(pos_np), jnp.asarray(ang_np))["bmode"]
 
     perturbed = np.array(pack.materials, np.float32)
     perturbed[row, col] *= args.factor
@@ -360,7 +368,7 @@ def fit_main(argv) -> int:
     fitter = MaterialFitter(
         render, jnp.asarray(perturbed), target,
         learning_rate=args.lr, trainable=(col,), trainable_rows=[row],
-        fixed_key=key,
+        fixed_key=key, render_args=(sim._state,),
     )
     if args.resume and args.checkpoint and os.path.exists(args.checkpoint):
         fitter.state = load_fit_state(args.checkpoint, fitter.state)

@@ -522,54 +522,90 @@ class Simulator:
         else:
             self.bvh_arrays = None
 
-        @functools.partial(jax.jit, static_argnames=("self_cfg_hash",))
-        def _render(key, materials, pos, ang, self_cfg_hash):
-            del self_cfg_hash
+        # ALL device arrays the render needs, threaded through every jit
+        # boundary as one pytree ARGUMENT. Never close a jitted function
+        # over a live jax.Array (even a scalar): on the tunnelled TPU
+        # backend, one execution of such a program permanently switches the
+        # whole process to ~3 ms blocking round trips per dispatch (measured
+        # round 4 — the previously "tunnel-bound" 8.6 ms single-frame
+        # latency was mostly this). Static Python values (flags, mode
+        # strings, cfg) stay in the closure; numpy constants inline into
+        # the HLO at trace time, which is also fine.
+        self._state = {
+            "scene": self.scene,
+            "spacing": self.spacing,
+            "starting_material": self.starting_material,
+            "volume": self.volume,
+            "scan_maps": self.scan_maps,
+            "scan_table": self.scan_table,
+            "packed": self.culled_tris[0] if self.culled_tris else None,
+            "bvh_arrays": self.bvh_arrays,
+            "packet_bvh": self.packet_bvh,
+        }
+        intersect_mode_static = self.culled_tris[1] if self.culled_tris else None
+
+        def _render_impl(key, materials, pos, ang, state):
+            culled = (
+                (state["packed"], intersect_mode_static)
+                if state["packed"] is not None
+                else None
+            )
             return render(
                 key,
                 materials,
                 pos,
                 ang,
-                self.scene,
-                self.spacing,
-                self.starting_material,
-                self.volume,
-                self.scan_maps,
+                state["scene"],
+                state["spacing"],
+                state["starting_material"],
+                state["volume"],
+                state["scan_maps"],
                 cfg,
                 use_pallas_march=self.use_pallas_march,
                 use_fused_postproc=self.use_fused_postproc,
-                scan_table=self.scan_table,
+                scan_table=state["scan_table"],
                 use_bvh=self.use_bvh and self.packet_bvh is None,
-                bvh_arrays=self.bvh_arrays,
+                bvh_arrays=state["bvh_arrays"],
                 use_pallas_intersect=self.use_pallas_intersect,
-                packet_bvh=self.packet_bvh,
-                culled_tris=self.culled_tris,
+                packet_bvh=state["packet_bvh"],
+                culled_tris=culled,
                 intersect_tile_r=self.intersect_tile_r,
                 sort_packets=self.sort_packets,
             )
 
+        _render_jit = jax.jit(_render_impl)
+
+        def _render(key, materials, pos, ang, self_cfg_hash=None):
+            del self_cfg_hash  # kept for call-site compatibility
+            return _render_jit(key, materials, pos, ang, self._state)
+
         self._render = _render
+        self._render_impl = _render_impl  # closure-free; for nested jits
 
         @jax.jit
-        def _render_batch(keys, materials, pos, ang):
+        def _render_batch(keys, materials, pos, ang, state):
             return jax.vmap(
-                lambda k: _render(k, materials, pos, ang, hash(cfg))["bmode"]
+                lambda k: _render_impl(k, materials, pos, ang, state)["bmode"]
             )(keys)
 
-        self._render_batch = _render_batch
+        self._render_batch = lambda keys, m, p, a: _render_batch(
+            keys, m, p, a, self._state
+        )
 
-        # latency path: device-resident pose/materials closed over; only a
-        # seed scalar crosses the host->device boundary per frame
+        # latency path: only a seed scalar is host-materialised per frame;
+        # pose/materials stay device-resident and ride the argument pytree
         _pos0 = jnp.asarray(pack.transducer_position)
         _ang0 = jnp.asarray(pack.transducer_angles)
         _mat0 = self.materials
 
         @jax.jit
-        def _render_seeded(seed):
+        def _render_seeded_jit(seed, materials, pos, ang, state):
             key = jax.random.PRNGKey(seed)
-            return _render(key, _mat0, _pos0, _ang0, hash(cfg))
+            return _render_impl(key, materials, pos, ang, state)
 
-        self._render_seeded = _render_seeded
+        self._render_seeded = lambda seed: _render_seeded_jit(
+            seed, _mat0, _pos0, _ang0, self._state
+        )
 
     def make_chained_batch(self, batch: int, n_chain: int):
         """Build a jitted ``fn(seed0) -> (B, H, W)`` that renders
@@ -582,21 +618,21 @@ class Simulator:
         dispatch costs ~2-30 ms, which at ~5 ms/frame otherwise dominates
         the measurement (scripts/stage_profile.py shows the same effect).
         """
-        render = self._render
+        render_impl = self._render_impl
         mat = self.materials
         pos = jnp.asarray(self.pack.transducer_position)
         ang = jnp.asarray(self.pack.transducer_angles)
-        cfg_h = hash(self.cfg)
+        state = self._state
 
         @jax.jit
-        def run(seed0):
+        def run(seed0, mat, pos, ang, state):
             key = jax.random.PRNGKey(seed0)
 
             def step(carry, i):
                 ids = carry + i * batch + jnp.arange(batch, dtype=jnp.uint32)
                 keys = jax.vmap(jax.random.fold_in, (None, 0))(key, ids)
                 bm = jax.vmap(
-                    lambda k: render(k, mat, pos, ang, cfg_h)["bmode"]
+                    lambda k: render_impl(k, mat, pos, ang, state)["bmode"]
                 )(keys)
                 # fold an (always-zero but data-dependent) term into the
                 # next step's key ids: a true serial dependence chain
@@ -608,7 +644,7 @@ class Simulator:
             )
             return frames[-1]
 
-        return run
+        return lambda seed0: run(seed0, mat, pos, ang, state)
 
     def render_batch(self, seeds, materials=None, position=None, angles=None):
         """Render many MC frames in ONE device call (vmap over seeds) —

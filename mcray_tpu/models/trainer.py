@@ -70,7 +70,7 @@ class MaterialFitter:
 
     def __init__(
         self,
-        render_fn: Callable[[Array, Array], Array],
+        render_fn: Callable[..., Array],
         init_materials: Array,
         target: Array,
         learning_rate: float = 1e-2,
@@ -78,14 +78,31 @@ class MaterialFitter:
         trainable_rows=None,
         n_frames_per_step: int = 1,
         fixed_key: Array | None = None,
+        render_args: tuple = (),
     ):
         # fixed_key freezes the Monte-Carlo noise (same speckle realisation
         # for target and prediction) — the standard inverse-rendering setup;
         # without it the fit sees a speckle-decorrelation noise floor and
         # needs many frames per step to average it out.
+        #
+        # ``render_args``: extra pytrees threaded through the jitted step to
+        # ``render_fn(key, materials, *render_args)``. Pass the renderer's
+        # device state (e.g. Simulator._state) here instead of closing
+        # render_fn over it — closure-captured device arrays in a jitted
+        # program permanently degrade the tunnelled-TPU process to ~3 ms
+        # blocking dispatches (see Simulator's state-threading note).
         self.render_fn = render_fn
+        self.render_args = render_args
         self.target = target
-        self.mask = column_mask(init_materials.shape[0], trainable, trainable_rows)
+        # numpy closures inline as HLO literal constants at trace time —
+        # cheap; device-array closures are the thing to avoid
+        import numpy as np
+
+        target_np = np.asarray(target)
+        mask_np = np.asarray(
+            column_mask(init_materials.shape[0], trainable, trainable_rows)
+        )
+        self.mask = jnp.asarray(mask_np)
         self.optimizer = optax.adam(learning_rate)
         self.state = FitState(
             materials=jnp.asarray(init_materials),
@@ -94,26 +111,31 @@ class MaterialFitter:
         self.n_frames = n_frames_per_step
         self.fixed_key = fixed_key
 
-        def loss_fn(materials, key):
+        def loss_fn(materials, key, render_args):
             if self.n_frames == 1:
-                pred = self.render_fn(key, materials)
+                pred = self.render_fn(key, materials, *render_args)
             else:
                 # Average over MC frames to reduce speckle-gradient variance.
                 keys = jax.random.split(key, self.n_frames)
-                pred = jax.vmap(lambda k: self.render_fn(k, materials))(keys).mean(0)
-            return jnp.mean((pred - self.target) ** 2)
+                pred = jax.vmap(
+                    lambda k: self.render_fn(k, materials, *render_args)
+                )(keys).mean(0)
+            return jnp.mean((pred - jnp.asarray(target_np)) ** 2)
 
         @jax.jit
-        def step(state_materials, opt_state, key):
-            loss, grads = jax.value_and_grad(loss_fn)(state_materials, key)
-            grads = grads * self.mask
+        def step(state_materials, opt_state, key, render_args):
+            mask = jnp.asarray(mask_np)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state_materials, key, render_args
+            )
+            grads = grads * mask
             updates, opt_state = self.optimizer.update(grads, opt_state, state_materials)
             materials = optax.apply_updates(state_materials, updates)
             # keep physical parameters positive
-            materials = jnp.maximum(materials, 1e-4) * self.mask + materials * (1 - self.mask)
+            materials = jnp.maximum(materials, 1e-4) * mask + materials * (1 - mask)
             return materials, opt_state, loss, grads
 
-        self._step = step
+        self._step = lambda m, o, k: step(m, o, k, self.render_args)
 
     def run(self, n_steps: int, seed: int = 0, log_every: int = 10, verbose: bool = True):
         return _run_loop(self, n_steps, seed, log_every, verbose)
@@ -169,8 +191,10 @@ class PoseFitter:
         fd_decay: float = 0.95,
         fd_delta_angles: float = 1.0,
         lr_decay: float = 0.95,
+        render_args: tuple = (),
     ):
         self.render_fn = render_fn
+        self.render_args = render_args
         self.target = target
         self.fit_angles = fit_angles
         self.fixed_key = fixed_key
@@ -200,18 +224,23 @@ class PoseFitter:
             params["angles"] = jnp.asarray(init_angles)
         self.state = FitState(materials=params, opt_state=self.optimizer.init(params))
 
-        def loss_fn(params, key):
-            ang = params.get("angles", self._angles0)
-            pred = self.render_fn(key, params["position"], ang)
-            return jnp.mean((pred - self.target) ** 2)
+        import numpy as np
+
+        target_np = np.asarray(target)
+        angles0_np = np.asarray(self._angles0)
+
+        def loss_fn(params, key, render_args):
+            ang = params.get("angles", jnp.asarray(angles0_np))
+            pred = self.render_fn(key, params["position"], ang, *render_args)
+            return jnp.mean((pred - jnp.asarray(target_np)) ** 2)
 
         @jax.jit
-        def step(params, opt_state, key):
-            loss, grads = jax.value_and_grad(loss_fn)(params, key)
+        def step(params, opt_state, key, render_args):
+            loss, grads = jax.value_and_grad(loss_fn)(params, key, render_args)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss, grads
 
-        self._step = step
+        self._step = lambda p, o, k: step(p, o, k, self.render_args)
 
     @staticmethod
     def compound(render_fn, keys, position, angles):
@@ -221,6 +250,8 @@ class PoseFitter:
         ).mean(0)
 
     def _build_fd(self, init_position, init_angles):
+        import numpy as np
+
         from ..ops.imaging import gaussian_blur
 
         d = 6 if self.fit_angles else 3
@@ -233,43 +264,51 @@ class PoseFitter:
             params["angles"] = vec0[3:]
         self.state = FitState(materials=params, opt_state=self.optimizer.init(vec0))
 
-        tmax = jnp.maximum(jnp.max(self.target), 1e-20)
-        target_bank = [gaussian_blur(self.target / tmax, s) for s in self._scales]
-        keys = self._keys
+        # numpy closures (inlined HLO constants); device-array closures would
+        # poison tunnelled dispatch — see MaterialFitter
+        tmax_np = float(np.maximum(np.max(np.asarray(self.target)), 1e-20))
+        target_bank_np = [
+            np.asarray(gaussian_blur(jnp.asarray(self.target) / tmax_np, s))
+            for s in self._scales
+        ]
+        keys_np = np.asarray(self._keys)
         scales = self._scales
         render_fn = self.render_fn
-        angles0 = self._angles0
+        angles0_np = np.asarray(self._angles0)
         fit_angles = self.fit_angles
 
         def unpack(vec):
             pos = vec[:3]
-            ang = vec[3:6] if fit_angles else angles0
+            ang = vec[3:6] if fit_angles else jnp.asarray(angles0_np)
             return pos, ang
 
-        def loss_of(vec):
+        def loss_of(vec, render_args):
             pos, ang = unpack(vec)
-            c = jax.vmap(lambda k: render_fn(k, pos, ang))(keys).mean(0) / tmax
+            c = jax.vmap(lambda k: render_fn(k, pos, ang, *render_args))(
+                jnp.asarray(keys_np)
+            ).mean(0) / tmax_np
             return sum(
-                jnp.mean((gaussian_blur(c, s) - tb) ** 2)
-                for s, tb in zip(scales, target_bank)
+                jnp.mean((gaussian_blur(c, s) - jnp.asarray(tb)) ** 2)
+                for s, tb in zip(scales, target_bank_np)
             )
 
         delta_ang = self._fd[3]
 
         @jax.jit
-        def step(vec, opt_state, delta):
+        def step(vec, opt_state, delta, render_args):
             # per-dim FD step: positions use `delta`, angles a fixed degree step
             dvec = jnp.full((d,), delta, jnp.float32)
             if fit_angles:
                 dvec = dvec.at[3:].set(delta_ang)
             eye = jnp.eye(d, dtype=jnp.float32) * dvec[:, None]
             pts = jnp.concatenate([vec[None], vec[None] + eye, vec[None] - eye], 0)
-            vals = jax.vmap(loss_of)(pts)  # (2d+1,) — ONE batched render call
+            # (2d+1,) — ONE batched render call
+            vals = jax.vmap(lambda v: loss_of(v, render_args))(pts)
             g = (vals[1 : d + 1] - vals[d + 1 :]) / (2.0 * dvec)
             updates, opt_state = self.optimizer.update(g, opt_state, vec)
             return optax.apply_updates(vec, updates), opt_state, vals[0], g
 
-        self._fd_step = step
+        self._fd_step = lambda v, o, dl: step(v, o, dl, self.render_args)
         self._fd_vec = vec0
 
     def run(self, n_steps: int, seed: int = 0, log_every: int = 10, verbose: bool = True):

@@ -186,7 +186,14 @@ SUPER_G = 8  # clusters per super-cluster (two-level AABB pruning)
 @dataclasses.dataclass
 class CulledTris:
     """Host-packed triangle clusters for intersect_closest_culled /
-    intersect_closest_staged."""
+    intersect_closest_staged.
+
+    Registered as a jax pytree (arrays = children, shape ints = static aux)
+    so callers can pass it through jit boundaries as an ARGUMENT. Closing
+    over it instead would capture live device arrays in the executable —
+    on the tunnelled TPU backend, one such execution permanently degrades
+    every subsequent blocking dispatch in the process to ~3 ms round trips
+    (measured; see Simulator's state-threading note)."""
 
     soa: jax.Array        # (SOA_ROWS, C*TILE_T) f32
     slot_mesh_id: jax.Array  # (C*TILE_T,) i32, -1 for padding slots
@@ -204,6 +211,29 @@ class CulledTris:
     scene_hi: jax.Array = None
     tile_t: int = TILE_T  # triangles per cluster (listed kernel honours this;
     #                       culled/staged require the default TILE_T)
+
+
+_CULLED_ARRAY_FIELDS = (
+    "soa", "slot_mesh_id", "slot_v0", "slot_e1", "slot_e2",
+    "hbm_tris", "aabb_cluster", "aabb_super", "scene_lo", "scene_hi",
+)
+_CULLED_STATIC_FIELDS = ("n_slots", "n_clusters", "n_super", "tile_t")
+
+
+def _culled_flatten(p: CulledTris):
+    return (
+        tuple(getattr(p, f) for f in _CULLED_ARRAY_FIELDS),
+        tuple(getattr(p, f) for f in _CULLED_STATIC_FIELDS),
+    )
+
+
+def _culled_unflatten(aux, children):
+    kw = dict(zip(_CULLED_ARRAY_FIELDS, children))
+    kw.update(zip(_CULLED_STATIC_FIELDS, aux))
+    return CulledTris(**kw)
+
+
+jax.tree_util.register_pytree_node(CulledTris, _culled_flatten, _culled_unflatten)
 
 
 def pack_tris_culled(

@@ -61,11 +61,10 @@ def _shard_render_body(
     positions,      # (R_local, 3) this chip's element positions
     directions,     # (R_local, 3)
     elem_global0,   # (1,) global index of this chip's first element
-    scene: dict[str, Any],
-    spacing,
-    starting_material,
-    volume,
-    scan_maps,
+    state: dict[str, Any],  # replicated device state (scene tables, volume,
+    #                         scan maps, optional packed clusters) — threaded
+    #                         as an argument, never closed over (see
+    #                         Simulator's state-threading note)
     cfg: SimConfig,
     trace_kw: dict,
     axis: str,
@@ -74,6 +73,14 @@ def _shard_render_body(
     use_pallas: bool = False,
     pallas_interpret: bool = False,
 ):
+    scene = state["scene"]
+    spacing = state["spacing"]
+    starting_material = state["starting_material"]
+    volume = state["volume"]
+    scan_maps = state["scan_maps"]
+    if state.get("packed") is not None:
+        trace_kw = dict(trace_kw)
+        trace_kw["culled_tris"] = (state["packed"], trace_kw.pop("culled_mode"))
     r_local = positions.shape[0]
     s = cfg.samples_per_element
     local_elem = jnp.repeat(jnp.arange(r_local, dtype=jnp.int32), s)
@@ -129,11 +136,7 @@ def _shard_render_body_2d(
     positions,      # (R_local, 3) this chip's elements (sharded over "rays")
     directions,
     elem_global0,   # (R_local,) global element indices
-    scene,
-    spacing,
-    starting_material,
-    volume,
-    scan_maps,
+    state,
     cfg: SimConfig,
     axis_r: str,
     axis_s: str,
@@ -143,6 +146,11 @@ def _shard_render_body_2d(
     """2-D mesh body: scanlines sharded over ``axis_r`` (chip-local RF
     columns), Monte-Carlo samples sharded over ``axis_s`` (a pure psum
     reduction of partial RF images — SURVEY.md §2.3 long-axis (c))."""
+    scene = state["scene"]
+    spacing = state["spacing"]
+    starting_material = state["starting_material"]
+    volume = state["volume"]
+    scan_maps = state["scan_maps"]
     r_local = positions.shape[0]
     s_global = cfg.samples_per_element
     s_local = s_global // n_s
@@ -195,13 +203,15 @@ class ShardedRenderer2D:
         maps = imaging.scan_conversion_maps(cfg)
         scan_maps = (jnp.asarray(maps[0]), jnp.asarray(maps[1]))
 
+        self._state = {
+            "scene": self.scene,
+            "spacing": jnp.asarray(pack.spacing),
+            "starting_material": jnp.int32(pack.starting_material),
+            "volume": self.volume,
+            "scan_maps": scan_maps,
+        }
         body = functools.partial(
             _shard_render_body_2d,
-            scene=self.scene,
-            spacing=jnp.asarray(pack.spacing),
-            starting_material=jnp.int32(pack.starting_material),
-            volume=self.volume,
-            scan_maps=scan_maps,
             cfg=cfg,
             axis_r=axis_r,
             axis_s=axis_s,
@@ -211,18 +221,18 @@ class ShardedRenderer2D:
         sharded = jax.shard_map(
             body,
             mesh=mesh,
-            in_specs=(P(), P(), P(axis_r), P(axis_r), P(axis_r)),
+            in_specs=(P(), P(), P(axis_r), P(axis_r), P(axis_r), P()),
             out_specs=(P(), P(None, axis_r)),
             check_vma=False,
         )
 
         @jax.jit
-        def _render(key, materials, position, angles):
+        def _render_jit(key, materials, position, angles, state):
             positions, directions = element_layout(position, angles, cfg)
             elem0 = jnp.arange(cfg.transducer_elements, dtype=jnp.int32)
-            return sharded(key, materials, positions, directions, elem0)
+            return sharded(key, materials, positions, directions, elem0, state)
 
-        self._render = _render
+        self._render = lambda key, m, p, a: _render_jit(key, m, p, a, self._state)
 
     def render_frame(self, seed: int = 0, materials=None, position=None, angles=None):
         key = jax.random.fold_in(jax.random.PRNGKey(seed), 0)
@@ -267,6 +277,7 @@ class ShardedRenderer:
         # large scenes: cluster-culled intersect kernel (same policy as
         # Simulator), replicated scene per chip, chip-local ray tiles
         trace_kw: dict = {}
+        packed = None
         if use_pallas and not pallas_interpret:
             if pack.n_triangles >= 2048:
                 from ..ops.pallas.intersect import pack_tris_culled
@@ -274,18 +285,16 @@ class ShardedRenderer:
                 order = pack.bvh.tri_order if pack.bvh is not None else None
                 # list-driven kernel for large scenes (Simulator policy)
                 mode = "listed" if pack.n_triangles >= 8192 else "culled"
-                trace_kw = {
-                    "culled_tris": (
-                        pack_tris_culled(
-                            pack.tris,
-                            pack.tri_mesh_id,
-                            order,
-                            sort_origin=pack.transducer_position,
-                            tile_t=128 if mode == "listed" else 256,
-                        ),
-                        mode,
-                    )
-                }
+                packed = pack_tris_culled(
+                    pack.tris,
+                    pack.tri_mesh_id,
+                    order,
+                    sort_origin=pack.transducer_position,
+                    tile_t=128 if mode == "listed" else 256,
+                )
+                # the packed clusters ride the state pytree (threaded as an
+                # argument); only the mode string stays static
+                trace_kw = {"culled_mode": mode}
             else:
                 trace_kw = {"use_pallas_intersect": True}
         self.scene = {k: jnp.asarray(v) for k, v in pack.trace_tables().items()}
@@ -299,13 +308,16 @@ class ShardedRenderer:
         self.scan_maps = (jnp.asarray(maps[0]), jnp.asarray(maps[1]))
 
         axis = self.axis
+        self._state = {
+            "scene": self.scene,
+            "spacing": self.spacing,
+            "starting_material": self.starting_material,
+            "volume": self.volume,
+            "scan_maps": self.scan_maps,
+            "packed": packed,
+        }
         body = functools.partial(
             _shard_render_body,
-            scene=self.scene,
-            spacing=self.spacing,
-            starting_material=self.starting_material,
-            volume=self.volume,
-            scan_maps=self.scan_maps,
             cfg=cfg,
             trace_kw=trace_kw,
             axis=axis,
@@ -317,18 +329,19 @@ class ShardedRenderer:
         sharded = jax.shard_map(
             body,
             mesh=self.mesh,
-            in_specs=(P(), P(), P(axis), P(axis), P(axis)),
+            in_specs=(P(), P(), P(axis), P(axis), P(axis), P()),
             out_specs=(P(), P(None, axis)),
             check_vma=False,
         )
 
         @jax.jit
-        def _render(key, materials, position, angles):
+        def _render_jit(key, materials, position, angles, state):
             positions, directions = element_layout(position, angles, cfg)
             elem0 = jnp.arange(cfg.transducer_elements, dtype=jnp.int32)
-            return sharded(key, materials, positions, directions, elem0)
+            return sharded(key, materials, positions, directions, elem0, state)
 
-        self._render = _render
+        self._render = lambda key, m, p, a: _render_jit(key, m, p, a, self._state)
+        self._render_jit = _render_jit
 
     def make_train_step(self, optimizer, mask=None):
         """One jitted sharded training step: render under shard_map,
@@ -336,22 +349,26 @@ class ShardedRenderer:
         psum of per-chip material-gradient partials over ICI), masked
         optimiser update. Returns step(key, materials, opt_state, target,
         position, angles) -> (materials, opt_state, loss)."""
+        import numpy as np
         import optax
 
+        mask_np = None if mask is None else np.asarray(mask)
+        render_jit = self._render_jit
+
         @jax.jit
-        def step(key, materials, opt_state, target, position, angles):
+        def step(key, materials, opt_state, target, position, angles, state):
             def loss_fn(m):
-                bmode = self._render(key, m, position, angles)[0]
+                bmode = render_jit(key, m, position, angles, state)[0]
                 return jnp.mean((bmode - target) ** 2)
 
             loss, grads = jax.value_and_grad(loss_fn)(materials)
-            if mask is not None:
-                grads = grads * mask
+            if mask_np is not None:
+                grads = grads * jnp.asarray(mask_np)
             updates, new_opt = optimizer.update(grads, opt_state, materials)
             new_materials = optax.apply_updates(materials, updates)
             return new_materials, new_opt, loss
 
-        return step
+        return lambda key, m, o, t, p, a: step(key, m, o, t, p, a, self._state)
 
     def render_bmode(self, key, materials, position, angles):
         """Jitted sharded render returning just the B-mode (for loss fns)."""
