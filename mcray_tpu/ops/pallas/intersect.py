@@ -211,13 +211,14 @@ class CulledTris:
     scene_hi: jax.Array = None
     tile_t: int = TILE_T  # triangles per cluster (listed kernel honours this;
     #                       culled/staged require the default TILE_T)
+    super_g: int = SUPER_G  # clusters per super-cluster
 
 
 _CULLED_ARRAY_FIELDS = (
     "soa", "slot_mesh_id", "slot_v0", "slot_e1", "slot_e2",
     "hbm_tris", "aabb_cluster", "aabb_super", "scene_lo", "scene_hi",
 )
-_CULLED_STATIC_FIELDS = ("n_slots", "n_clusters", "n_super", "tile_t")
+_CULLED_STATIC_FIELDS = ("n_slots", "n_clusters", "n_super", "tile_t", "super_g")
 
 
 def _culled_flatten(p: CulledTris):
@@ -242,6 +243,7 @@ def pack_tris_culled(
     order: np.ndarray | None = None,
     sort_origin: np.ndarray | None = None,
     tile_t: int = TILE_T,
+    super_g: int | None = None,
 ) -> CulledTris:
     """Permute triangles into spatial ``order`` (e.g. the SAH BVH's
     depth-first tri_order) and pack TILE_T-wide clusters, each carrying its
@@ -309,11 +311,16 @@ def pack_tris_culled(
     slot_e2[:t] = e2
 
     # --- staged (HBM-resident) layout for the two-level kernel ------------
-    # pad the cluster count to a SUPER_G multiple; padding clusters carry an
-    # empty AABB (min=+inf > max=-inf) so both levels always cull them
+    # pad the cluster count to a super_g multiple; padding clusters carry a
+    # FAR degenerate AABB so both levels always cull them.
+    # Adaptive super width: the hierarchical prepass's exact per-ray slab
+    # pass is (P, R, n_super), so keep n_super roughly constant (~256) as
+    # the scene grows — its cost then stops scaling with triangle count.
     n_clusters = n_tot // tile_t
-    n_clusters_pad = ((n_clusters + SUPER_G - 1) // SUPER_G) * SUPER_G
-    n_super = n_clusters_pad // SUPER_G
+    if super_g is None:
+        super_g = max(SUPER_G, int(2 ** np.ceil(np.log2(max(n_clusters / 256.0, 1.0)))))
+    n_clusters_pad = ((n_clusters + super_g - 1) // super_g) * super_g
+    n_super = n_clusters_pad // super_g
     hbm = np.zeros((n_clusters_pad, 16, tile_t), np.float32)
     # all 16 SoA rows: triangles (0-8) plus the cluster AABB (9-14) so the
     # listed kernel can re-check the box against the tightened running t
@@ -333,9 +340,9 @@ def pack_tris_culled(
     # super AABBs over the REAL clusters only (padding clusters' FAR
     # sentinels must not leak into a mixed super's max)
     aabb_s = np.full((n_super, 8), 0.0, np.float32)
-    grouped = aabb_c.reshape(n_super, SUPER_G, 8)
+    grouped = aabb_c.reshape(n_super, super_g, 8)
     real_per_super = np.minimum(
-        np.maximum(n_clusters - np.arange(n_super) * SUPER_G, 0), SUPER_G
+        np.maximum(n_clusters - np.arange(n_super) * super_g, 0), super_g
     )
     for si in range(n_super):
         k = real_per_super[si]
@@ -364,6 +371,7 @@ def pack_tris_culled(
         scene_lo=jnp.asarray(scene_lo.astype(np.float32)),
         scene_hi=jnp.asarray(scene_hi.astype(np.float32)),
         tile_t=tile_t,
+        super_g=super_g,
     )
 
 
@@ -424,6 +432,7 @@ def _intersect_staged_kernel(
     scratch, sem,            # VMEM (16, TILE_T) + DMA semaphore
     *,
     n_super: int,
+    super_g: int,
     eps: float,
 ):
     """Two-level staged intersection: triangles stay in HBM; each ray packet
@@ -477,7 +486,7 @@ def _intersect_staged_kernel(
         @pl.when(packet_hits_box(aabb_s_ref, s))
         def _():
             def cluster_body(g, _):
-                c = s * SUPER_G + g
+                c = s * super_g + g
 
                 @pl.when(packet_hits_box(aabb_c_ref, c))
                 def _():
@@ -532,7 +541,7 @@ def _intersect_staged_kernel(
 
                 return 0
 
-            jax.lax.fori_loop(0, SUPER_G, cluster_body, 0)
+            jax.lax.fori_loop(0, super_g, cluster_body, 0)
         return 0
 
     jax.lax.fori_loop(0, n_super, super_body, 0)
@@ -558,7 +567,10 @@ def intersect_closest_staged(
     n_tot = n + n_pad
 
     kernel = functools.partial(
-        _intersect_staged_kernel, n_super=packed.n_super, eps=eps
+        _intersect_staged_kernel,
+        n_super=packed.n_super,
+        super_g=packed.super_g,
+        eps=eps,
     )
     best_t, best_slot = pl.pallas_call(
         kernel,
@@ -617,21 +629,56 @@ def intersect_closest_staged(
     }
 
 
-def _packet_cluster_lists_frustum(origins, seg_vecs, packed: CulledTris, tile_r):
-    """Conservative per-PACKET cluster lists via interval arithmetic — the
-    cheap replacement for the dense per-ray prepass, whose (P, R, C) slab
-    pass dominates listed-kernel time at large C (measured 3.4 ms of a
-    4.1 ms 200k-tri query, scripts/listed_split.py).
+def _slab_per_axis(o, inv, aabb):
+    """Per-ray AABB slab test, unrolled over the 3 coordinate axes: returns
+    (enter, leave), each (P, R, boxes). Every intermediate is (P, R, boxes)
+    with boxes on the TPU lane dimension; the naive broadcast form
+    ``max(min((lo-o)*inv, (hi-o)*inv), axis=-1)`` leaves a trailing size-3
+    axis that Mosaic pads to 128 lanes — measured ~40x slower and
+    box-count-invariant (~0.8 ms flat for 196 or 1568 boxes)."""
+    enter = None
+    leave = None
+    for ax in range(3):
+        o_a = o[:, :, ax : ax + 1]    # (P, R, 1)
+        i_a = inv[:, :, ax : ax + 1]
+        lo_a = aabb[None, None, :, ax]       # (1, 1, boxes)
+        hi_a = aabb[None, None, :, 3 + ax]
+        t0 = (lo_a - o_a) * i_a  # (P, R, boxes)
+        t1 = (hi_a - o_a) * i_a
+        mn = jnp.minimum(t0, t1)
+        mx = jnp.maximum(t0, t1)
+        enter = mn if enter is None else jnp.maximum(enter, mn)
+        leave = mx if leave is None else jnp.minimum(leave, mx)
+    return enter, leave
+
+
+def _assemble_lists(any_hit, key):
+    """(P, C) survival mask + sound lower-bound key -> (counts, ids, keys)
+    in the listed kernel's contract: survivors first, ascending in key.
+
+    One stable variadic lax.sort carries the cluster ids alongside the keys
+    — identical result to argsort + take_along_axis, but without the
+    (P, C) gather, which XLA serialises at ~10 ns/element (measured 0.35 ms
+    of the 200k-tri prepass)."""
+    key = jnp.where(any_hit, key, jnp.inf)
+    iota = jnp.broadcast_to(
+        jnp.arange(key.shape[1], dtype=jnp.int32)[None], key.shape
+    )
+    keys_sorted, ids = jax.lax.sort((key, iota), dimension=1, num_keys=1)
+    counts = jnp.sum(any_hit, axis=1, keepdims=True).astype(jnp.int32)
+    # non-survivor slots get NO_HIT_T (never read: the loop is bounded by
+    # counts, but keep them inert in case max_t ever reaches NO_HIT_T)
+    keys = jnp.minimum(keys_sorted, NO_HIT_T).astype(jnp.float32)
+    return counts, ids, keys
+
+
+def _frustum_cluster_hits(origins, seg_vecs, aabb, tile_r):
+    """Interval-arithmetic packet-vs-AABB test: (P, boxes) survival mask and
+    per-box entry-t lower bound (sound for every live ray of the packet).
 
     Each packet is summarised by componentwise intervals of its live rays'
-    origins and inverse directions; a cluster AABB survives if the interval
-    slab test cannot rule out EVERY ray. For coherence-sorted packets
-    (shared direction octant, Morton-local origins — intersect_sorted) the
-    frustum is close to the exact union; for anything else it is a superset,
-    which the kernel's per-ray in-tile AABB re-check absorbs (extra DMA +
-    slab, no Moller-Trumbore). Returned keys lower-bound every ray's entry
-    t, so the kernel's early-stop stays sound. Same contract as the exact
-    prepass: (counts, ids, keys)."""
+    origins and inverse directions; a box survives if the interval slab test
+    cannot rule out EVERY ray. Cost is (P, boxes) — no ray dimension."""
     n = origins.shape[0]
     p = n // tile_r
     o = origins.reshape(p, tile_r, 3)
@@ -646,33 +693,91 @@ def _packet_cluster_lists_frustum(origins, seg_vecs, packed: CulledTris, tile_r)
     i_lo = jnp.min(jnp.where(vmask, inv, jnp.inf), axis=1)
     i_hi = jnp.max(jnp.where(vmask, inv, -jnp.inf), axis=1)
 
-    aabb = packed.aabb_cluster  # (C, 8)
-    b_lo = aabb[None, :, 0:3]   # (1, C, 3)
-    b_hi = aabb[None, :, 3:6]
-    near = jnp.inf
-    far = -jnp.inf
     # interval product (b - o) * inv over the 8 corner combinations: its min
     # lower-bounds every ray's per-axis slab near t, its max upper-bounds
-    # every ray's far t
-    for bb in (b_lo, b_hi):
-        for oo in (o_lo, o_hi):
-            d = bb - oo[:, None, :]  # (P, C, 3)
-            for ii in (i_lo, i_hi):
-                prod = d * ii[:, None, :]
-                near = jnp.minimum(near, prod)
-                far = jnp.maximum(far, prod)
-    enter_lb = jnp.max(near, axis=-1)  # (P, C)
-    leave_ub = jnp.min(far, axis=-1)
+    # every ray's far t. Unrolled per coordinate axis so every array is
+    # (P, C) with boxes on the TPU lane dimension — a trailing size-3 axis
+    # would be padded to 128 lanes and cost ~40x the bandwidth (measured:
+    # the (P,C,3)-layout version of this pass was box-count-invariant at
+    # ~0.8 ms; the per-axis form is microseconds).
+    enter_lb = None
+    leave_ub = None
+    for ax in range(3):
+        b0 = aabb[None, :, ax]       # (1, C)
+        b1 = aabb[None, :, 3 + ax]
+        near_a = None
+        far_a = None
+        for bb in (b0, b1):
+            for oo in (o_lo[:, ax : ax + 1], o_hi[:, ax : ax + 1]):  # (P, 1)
+                d = bb - oo  # (P, C)
+                for ii in (i_lo[:, ax : ax + 1], i_hi[:, ax : ax + 1]):
+                    prod = d * ii
+                    near_a = prod if near_a is None else jnp.minimum(near_a, prod)
+                    far_a = prod if far_a is None else jnp.maximum(far_a, prod)
+        enter_lb = near_a if enter_lb is None else jnp.maximum(enter_lb, near_a)
+        leave_ub = far_a if leave_ub is None else jnp.minimum(leave_ub, far_a)
     any_valid = jnp.any(valid, axis=1)[:, None]
     any_hit = (
         (enter_lb <= leave_ub) & (leave_ub > 0.0) & (enter_lb < 1.0) & any_valid
     )
-    key = jnp.where(any_hit, jnp.maximum(enter_lb, 0.0), jnp.inf)
-    ids = jnp.argsort(key, axis=1).astype(jnp.int32)
-    counts = jnp.sum(any_hit, axis=1, keepdims=True).astype(jnp.int32)
-    keys = jnp.take_along_axis(jnp.where(any_hit, key, NO_HIT_T), ids, axis=1)
-    keys = jnp.minimum(keys, NO_HIT_T).astype(jnp.float32)
-    return counts, ids, keys
+    return any_hit, jnp.maximum(enter_lb, 0.0)
+
+
+def _packet_cluster_lists_frustum(origins, seg_vecs, packed: CulledTris, tile_r):
+    """Conservative per-PACKET cluster lists via interval arithmetic — the
+    cheap replacement for the dense per-ray prepass, whose (P, R, C) slab
+    pass dominates listed-kernel time at large C (measured 3.4 ms of a
+    4.1 ms 200k-tri query, scripts/listed_split.py).
+
+    For coherence-sorted packets (shared direction octant, Morton-local
+    origins — intersect_sorted) the frustum is close to the exact union; for
+    anything else it is a superset, which the kernel's per-ray in-tile AABB
+    re-check absorbs (extra DMA + slab, no Moller-Trumbore). Returned keys
+    lower-bound every ray's entry t, so the kernel's early-stop stays sound.
+    Same contract as the exact prepass: (counts, ids, keys)."""
+    any_hit, key = _frustum_cluster_hits(
+        origins, seg_vecs, packed.aabb_cluster, tile_r
+    )
+    return _assemble_lists(any_hit, key)
+
+
+def _packet_cluster_lists_hier(origins, seg_vecs, packed: CulledTris, tile_r):
+    """Hierarchical prepass: EXACT per-ray slab test against the ~256 SUPER
+    boxes — (P, R, S), 8-32x cheaper than the (P, R, C) cluster pass —
+    intersected with the frustum interval test at cluster level (P, C).
+
+    Soundness: both masks are supersets of the exact per-ray cluster union
+    (a ray hitting a cluster box hits its super box; the frustum test never
+    rules out a box any live ray hits), so their intersection still contains
+    every exact survivor. Both keys lower-bound every live ray's cluster
+    entry t (super entry <= cluster entry per ray; packet-min <= each ray),
+    so max(key_super, key_frustum) is a tighter, still-sound early-stop key.
+
+    Unlike the pure frustum method this stays tight for UNSORTED packets
+    with spread origins (bounce>=1 rays in element order): the super level
+    prunes per-ray, so one stray ray widens the packet frustum but cannot
+    resurrect supers nobody hits."""
+    n = origins.shape[0]
+    p = n // tile_r
+    o3 = origins.reshape(p, tile_r, 3)
+    s3 = seg_vecs.reshape(p, tile_r, 3)
+    live = (jnp.sum(jnp.abs(s3), axis=-1) > 0.0)[:, :, None]  # (P, R, 1)
+    ok = jnp.abs(s3) > 1e-30
+    inv = jnp.where(ok, 1.0 / jnp.where(ok, s3, 1.0), 1e30)
+    enter, leave = _slab_per_axis(o3, inv, packed.aabb_super)  # (P, R, S)
+    hit_s = (enter <= leave) & (leave > 0.0) & (enter < 1.0) & live
+    any_s = jnp.any(hit_s, axis=1)  # (P, S)
+    key_s = jnp.min(jnp.where(hit_s, jnp.maximum(enter, 0.0), jnp.inf), axis=1)
+
+    g = packed.super_g
+    any_s_c = jnp.repeat(any_s, g, axis=1)      # (P, C) — C = S * g exactly
+    key_s_c = jnp.repeat(key_s, g, axis=1)
+    any_f, key_f = _frustum_cluster_hits(
+        origins, seg_vecs, packed.aabb_cluster, tile_r
+    )
+    any_hit = any_f & any_s_c
+    key = jnp.maximum(key_f, key_s_c)
+    return _assemble_lists(any_hit, key)
 
 
 def _packet_cluster_lists(
@@ -717,42 +822,37 @@ def _packet_cluster_lists(
     if method == "frustum":
         assert t_cap is None and exclude is None, "frustum prepass is single-pass"
         return _packet_cluster_lists_frustum(origins, seg_vecs, packed, tile_r)
+    if method == "hier":
+        assert t_cap is None and exclude is None, "hier prepass is single-pass"
+        return _packet_cluster_lists_hier(origins, seg_vecs, packed, tile_r)
     n = origins.shape[0]
     p = n // tile_r
-    o = origins.reshape(p, tile_r, 1, 3)
-    s = seg_vecs.reshape(p, tile_r, 1, 3)
-    aabb = packed.aabb_cluster  # (C, 8)
-    lo = aabb[None, None, :, 0:3]
-    hi = aabb[None, None, :, 3:6]
+    o = origins.reshape(p, tile_r, 3)
+    s = seg_vecs.reshape(p, tile_r, 3)
     ok = jnp.abs(s) > 1e-30
     inv = jnp.where(ok, 1.0 / jnp.where(ok, s, 1.0), 1e30)
-    t0 = (lo - o) * inv
-    t1 = (hi - o) * inv
-    enter = jnp.max(jnp.minimum(t0, t1), axis=-1)  # (P, R, C)
-    leave = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    enter, leave = _slab_per_axis(o, inv, packed.aabb_cluster)  # (P, R, C)
     cap = 1.0 if t_cap is None else jnp.minimum(t_cap, 1.0).reshape(p, tile_r, 1)
     hit = (enter <= leave) & (leave > 0.0) & (enter < cap)
     any_hit = jnp.any(hit, axis=1)  # (P, C)
     if exclude is not None:
         any_hit = any_hit & ~exclude
     key = jnp.min(jnp.where(hit, jnp.maximum(enter, 0.0), jnp.inf), axis=1)
-    key = jnp.where(any_hit, key, jnp.inf)
-    ids = jnp.argsort(key, axis=1).astype(jnp.int32)  # survivors first, near first
     # counts kept 2-D (P, 1): a 1-D SMEM input would get a (1, P) block under
-    # vmap (batched rendering), which Mosaic's block-shape rules reject
-    counts = jnp.sum(any_hit, axis=1, keepdims=True).astype(jnp.int32)
-    # sorted keys for the kernel's early-stop test; non-survivor slots get
-    # NO_HIT_T (never read: the loop is bounded by counts, but keep them
-    # inert in case maxt ever reaches NO_HIT_T)
-    keys = jnp.take_along_axis(jnp.where(any_hit, key, NO_HIT_T), ids, axis=1)
-    keys = jnp.minimum(keys, NO_HIT_T).astype(jnp.float32)
-    return counts, ids, keys
+    # vmap (batched rendering), which Mosaic's block-shape rules reject.
+    # Non-survivor key slots get NO_HIT_T (never read: the loop is bounded by
+    # counts, but keep them inert in case maxt ever reaches NO_HIT_T).
+    return _assemble_lists(any_hit, key)
 
 
 def _intersect_listed_kernel(
-    counts_ref,  # (P, 1) SMEM
-    ids_ref,     # (P, C) SMEM — per-packet cluster lists
-    keys_ref,    # (P, C) SMEM — sorted packet-min slab entry t per list slot
+    counts_ref,  # (1, 1, 1) SMEM — this packet's survivor count
+    ids_ref,     # (1, 1, C) SMEM — this packet's cluster list (blocked per
+    #              packet so SMEM holds one row, not the (P, C) table —
+    #              the whole table exceeds the 1 MB SMEM budget at ~4k
+    #              clusters / 500k+ triangles; the singleton middle axis
+    #              satisfies Mosaic's block-shape rule for the last two dims)
+    keys_ref,    # (1, 1, C) SMEM — sorted packet-min slab entry t per slot
     rays_ref,    # (6, TILE_R) VMEM
     t_init_ref,  # (1, TILE_R) VMEM — running-best init (NO_HIT_T or pass 1's)
     idx_init_ref,  # (1, TILE_R) VMEM
@@ -774,12 +874,11 @@ def _intersect_listed_kernel(
     (the static-shape analogue of BVH early termination; prefetch gating
     uses the one-iteration-stale running t, which only shrinks, so every
     skip is sound and every started DMA is waited)."""
-    p = pl.program_id(0)
     tile_r = rays_ref.shape[1]
     t_ref[:] = t_init_ref[:]
     idx_ref[:] = idx_init_ref[:]
 
-    n = counts_ref[p, 0]
+    n = counts_ref[0, 0, 0]
 
     ox = rays_ref[0, :].reshape(1, tile_r)
     oy = rays_ref[1, :].reshape(1, tile_r)
@@ -801,7 +900,7 @@ def _intersect_listed_kernel(
 
     @pl.when(n > 0)
     def _():
-        get_dma(0, ids_ref[p, 0]).start()
+        get_dma(0, ids_ref[0, 0, 0]).start()
 
     def body(it, go):
         cur = jax.lax.rem(it, 2)
@@ -816,16 +915,16 @@ def _intersect_listed_kernel(
         # iteration of a full list (n == C) column C would be out of
         # bounds in SMEM; the clamped read is discarded by `it + 1 < n`.
         max_t = jnp.max(t_ref[:])
-        nxt_slot = jnp.minimum(it + 1, keys_ref.shape[1] - 1)
-        want_next = go & (it + 1 < n) & (keys_ref[p, nxt_slot] < max_t)
+        nxt_slot = jnp.minimum(it + 1, keys_ref.shape[2] - 1)
+        want_next = go & (it + 1 < n) & (keys_ref[0, 0, nxt_slot] < max_t)
 
         @pl.when(want_next)
         def _():
-            get_dma(nxt, ids_ref[p, it + 1]).start()
+            get_dma(nxt, ids_ref[0, 0, it + 1]).start()
 
         @pl.when(go)
         def _():
-            c = ids_ref[p, it]
+            c = ids_ref[0, 0, it]
             get_dma(cur, c).wait()
 
             # AABB re-check vs the tightened running t (tile rows 9-14)
@@ -946,13 +1045,22 @@ def intersect_closest_listed(
     )
 
     def call(counts, ids, keys, t_init, idx_init):
+        n_c = ids.shape[1]
+        n_pk = ids.shape[0]
+        # per-packet SMEM rows: the full (P, C) tables exceed the 1 MB SMEM
+        # budget at ~4k clusters (500k+ triangles). A singleton middle axis
+        # makes the (1, 1, C) block's last two dims equal the array dims,
+        # which Mosaic's block-shape rule requires.
+        counts3 = counts.reshape(n_pk, 1, 1)
+        ids3 = ids.reshape(n_pk, 1, n_c)
+        keys3 = keys.reshape(n_pk, 1, n_c)
         return pl.pallas_call(
             kernel,
             grid=(n_tot // tile_r,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, n_c), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, n_c), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec((6, tile_r), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, tile_r), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, tile_r), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -972,9 +1080,9 @@ def intersect_closest_listed(
             ],
             interpret=interpret,
         )(
-            counts,
-            ids,
-            keys,
+            counts3,
+            ids3,
+            keys3,
             rays,
             t_init,
             idx_init,

@@ -1,6 +1,10 @@
-"""Split listed-kernel time: jnp prepass (_packet_cluster_lists) vs kernel.
+"""Split listed-kernel time: jnp prepass (_packet_cluster_lists) vs kernel,
+per prepass method (exact / frustum / hier).
 
     python scripts/listed_split.py [--tris 200000] [--tile_r 128]
+
+Uses the clean measurement protocol (mcray_tpu/utils/benchmarking.py):
+varied inputs per dispatch, state as jit arguments, first rep discarded.
 """
 
 from __future__ import annotations
@@ -8,7 +12,6 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -18,8 +21,8 @@ def main() -> int:
     p.add_argument("--tris", type=int, default=200000)
     p.add_argument("--rays", type=int, default=2560)
     p.add_argument("--tile_r", type=int, default=128)
-    p.add_argument("--reps", type=int, default=5)
-    p.add_argument("--inner", type=int, default=8)
+    p.add_argument("--reps", type=int, default=4)
+    p.add_argument("--inner", type=int, default=16)
     args = p.parse_args()
 
     import jax
@@ -37,6 +40,7 @@ def main() -> int:
         intersect_sorted,
         pack_tris_culled,
     )
+    from mcray_tpu.utils.benchmarking import measure
     from scripts.stress_bench import build_scene_arrays
 
     tris, mids = build_scene_arrays(args.tris)
@@ -48,53 +52,40 @@ def main() -> int:
     dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
     seg = (dirs * 30.0).astype(np.float32)
     o, s = jnp.asarray(origins), jnp.asarray(seg)
-    packed = pack_tris_culled(tris, mids, bvh.tri_order, sort_origin=origins[0], tile_t=128)
+    packed = pack_tris_culled(
+        tris, mids, bvh.tri_order, sort_origin=origins[0], tile_t=128
+    )
 
-    def chain(fn):
-        def once(o, s):
-            def body(carry, _):
-                out = fn(o + carry[:, None] * 1e-7, s)
-                return jnp.sum(out) * 1e-30 + carry * 0, None
-
-            c, _ = jax.lax.scan(
-                body, jnp.zeros((o.shape[0],), jnp.float32), None, length=args.inner
-            )
-            return c
-
-        return jax.jit(once)
-
-    def _pre(method):
-        def f(oo, ss):
-            counts, ids, keys = _packet_cluster_lists(
-                oo, ss, packed, tile_r=args.tile_r, method=method
-            )
-            # touch all three outputs so the argsort isn't dead-code-eliminated
-            return counts.astype(jnp.float32).sum() + keys.sum() + ids.astype(jnp.float32).sum()
-
+    def pre(method):
+        def f(oo, ss, p2):
+            c, i, k = _packet_cluster_lists(oo, ss, p2, tile_r=args.tile_r, method=method)
+            return (c.astype(jnp.float32).sum() + k.sum()
+                    + i.astype(jnp.float32).sum())
         return f
 
-    def _full(method):
-        return lambda oo, ss: intersect_sorted(
-            lambda a, b, p2: intersect_closest_listed(
-                a, b, p2, tile_r=args.tile_r, list_method=method
-            ),
-            oo, ss, packed,
-        )["t"]
+    def full(method, sort):
+        def f(oo, ss, p2):
+            fn = lambda a, b, pp: intersect_closest_listed(
+                a, b, pp, tile_r=args.tile_r, list_method=method)
+            if sort:
+                return intersect_sorted(fn, oo, ss, p2)["t"]
+            return fn(oo, ss, p2)["t"]
+        return f
 
+    perturb = lambda c, oo, ss, p2: (oo + c * 1e-7, ss, p2)
     for name, fn in (
-        ("prepass exact", chain(_pre("exact"))),
-        ("prepass frustum", chain(_pre("frustum"))),
-        ("full listed+sort exact", chain(_full("exact"))),
-        ("full listed+sort frustum", chain(_full("frustum"))),
+        ("prepass exact", pre("exact")),
+        ("prepass frustum", pre("frustum")),
+        ("prepass hier", pre("hier")),
+        ("full exact", full("exact", False)),
+        ("full hier", full("hier", False)),
+        ("full hier+sort", full("hier", True)),
     ):
-        out = jax.block_until_ready(fn(o, s))
-        t0 = time.perf_counter()
-        for _ in range(args.reps):
-            out = jax.block_until_ready(fn(o, s))
-        dt = (time.perf_counter() - t0) / (args.reps * args.inner)
-        print(f"{name}: {dt*1e3:.2f} ms", flush=True)
+        m = measure(fn, perturb, (o, s, packed), inner=args.inner, reps=args.reps)
+        print(f"{name}: {m['best']*1e3:.3f} ms (reps "
+              f"{[round(t*1e3, 3) for t in m['reps']]})", flush=True)
 
-    for method in ("exact", "frustum"):
+    for method in ("exact", "frustum", "hier"):
         counts, ids, keys = _packet_cluster_lists(
             o, s, packed, tile_r=args.tile_r, method=method
         )

@@ -1,15 +1,24 @@
-"""Large-scene scaling benchmark: brute-force vs cluster-culled vs two-level
-staged (HBM-resident, DMA-on-demand) Pallas intersect.
+"""Large-scene scaling benchmark: brute-force vs the pruned Pallas
+intersect kernels (culled / staged / listed x prepass method).
 
 Generates synthetic organ scenes at increasing triangle counts and reports
-trace time per frame for both intersection paths. Run on a real TPU:
+device time per closest-hit query (2560 rays) for each path, on coherent
+probe-fan rays and on incoherent bounce-like rays. Run on a real TPU:
 
-    python scripts/stress_bench.py --tris 20000 80000 200000
+    python scripts/stress_bench.py --tris 200000 500000 1000000
+
+Measurement protocol (mcray_tpu/utils/benchmarking.py): inputs perturbed
+every chained iteration and every rep (the tunnelled backend memoizes
+identical dispatches), all device state passed as jit ARGUMENTS (closure
+capture degrades the process to ~27 ms dispatches), first rep discarded.
+Round 3's numbers predate this protocol and overstated the pruned kernels'
+time by the amortised dispatch latency (~3.4 ms at inner=8).
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -43,16 +52,29 @@ def build_scene_arrays(n_tris: int, seed: int = 0):
     return tris, mids
 
 
+def make_rays(n: int, seed: int = 1):
+    rng = np.random.default_rng(seed)
+    origins = np.tile(np.array([[-12.0, 0.0, 0.0]], np.float32), (n, 1))
+    theta = np.linspace(-0.5, 0.5, n)
+    segs = np.stack(
+        [np.cos(theta) * 25, np.sin(theta) * 25, np.zeros(n)], -1
+    ).astype(np.float32)
+    b_orig = rng.uniform(-6, 6, (n, 3)).astype(np.float32)
+    b_dir = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    b_dir /= np.linalg.norm(b_dir, axis=1, keepdims=True)
+    b_len = rng.uniform(2.0, 12.0, (n, 1)).astype(np.float32)
+    return origins, segs, b_orig, (b_dir * b_len).astype(np.float32)
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--tris", type=int, nargs="+", default=[20000, 80000])
+    p.add_argument("--tris", type=int, nargs="+", default=[20000, 80000, 200000])
     p.add_argument("--rays", type=int, default=2560)
-    p.add_argument("--reps", type=int, default=5)
-    p.add_argument("--inner", type=int, default=8, help="kernel launches chained inside one jit (amortises dispatch latency)")
-    p.add_argument("--interpret", action="store_true", help="CPU interpret mode (correctness only)")
-    p.add_argument("--packet", action="store_true", help="also time the packet-BVH kernel (slow Mosaic compile)")
+    p.add_argument("--reps", type=int, default=4)
+    p.add_argument("--inner", type=int, default=16)
+    p.add_argument("--interpret", action="store_true")
     p.add_argument("--platform", default=None)
-    p.add_argument("--front_k", type=int, default=6, help="pass-1 cluster budget for the two-pass listed kernel")
+    p.add_argument("--json-out", default=None)
     args = p.parse_args()
 
     import jax
@@ -61,154 +83,113 @@ def main() -> int:
         jax.config.update("jax_platforms", args.platform or "cpu")
     import jax.numpy as jnp
 
+    from mcray_tpu.cli import _enable_compilation_cache
+
+    _enable_compilation_cache()
+
     from mcray_tpu.ops.bvh import build_bvh
-    from mcray_tpu.ops.pallas.bvh_packet import bvh_packet_intersect, pack_bvh_for_kernel
     from mcray_tpu.ops.pallas.intersect import (
         intersect_closest_culled,
         intersect_closest_listed,
         intersect_closest_pallas,
         intersect_closest_staged,
+        intersect_sorted,
         pack_tris_culled,
     )
+    from mcray_tpu.utils.benchmarking import measure, profile_device
 
-    rng = np.random.default_rng(1)
-    n = args.rays
-    # a coherent probe fan (bounce 0)
-    origins = np.tile(np.array([[-12.0, 0.0, 0.0]], np.float32), (n, 1))
-    theta = np.linspace(-0.5, 0.5, n)
-    segs = np.stack([np.cos(theta) * 25, np.sin(theta) * 25, np.zeros(n)], -1).astype(np.float32)
-    o = jnp.asarray(origins)
-    s = jnp.asarray(segs)
-    # bounce-like incoherent rays: random origins inside the organ ball,
-    # isotropic directions, attenuation-bounded lengths — the depth>=1
-    # workload where packet coherence must be re-formed by sorting
-    b_orig = rng.uniform(-6, 6, (n, 3)).astype(np.float32)
-    b_dir = rng.normal(0, 1, (n, 3)).astype(np.float32)
-    b_dir /= np.linalg.norm(b_dir, axis=1, keepdims=True)
-    b_len = rng.uniform(2.0, 12.0, (n, 1)).astype(np.float32)
-    ob = jnp.asarray(b_orig)
-    sb = jnp.asarray((b_dir * b_len).astype(np.float32))
+    itp = args.interpret
+    o_np, s_np, ob_np, sb_np = make_rays(args.rays)
 
+    # every case: fn(origins, segs, tris, mids, packed128, packed256);
+    # device state rides the arguments (see module docstring)
+    def case_brute(o, s, tj, mj, p128, p256):
+        return intersect_closest_pallas(o, s, tj, mj, interpret=itp)["t"]
+
+    def listed(method, sort):
+        def f(o, s, tj, mj, p128, p256):
+            fn = lambda oo, ss, pp: intersect_closest_listed(
+                oo, ss, pp, interpret=itp, list_method=method
+            )
+            if sort:
+                return intersect_sorted(fn, o, s, p128)["t"]
+            return fn(o, s, p128)["t"]
+
+        return f
+
+    def case_culled(o, s, tj, mj, p128, p256):
+        return intersect_closest_culled(o, s, p256, interpret=itp)["t"]
+
+    def case_staged(o, s, tj, mj, p128, p256):
+        return intersect_closest_staged(o, s, p256, interpret=itp)["t"]
+
+    cases = [
+        ("brute", case_brute),
+        ("culled", case_culled),
+        ("staged", case_staged),
+        ("listed-exact", listed("exact", False)),
+        ("listed-hier", listed("hier", False)),
+        ("listed-hier+sort", listed("hier", True)),
+        ("listed-frustum+sort", listed("frustum", True)),
+    ]
+    perturb = lambda c, o, s, *rest: (o + c * 1e-7, s, *rest)
+
+    all_rows = []
     for t_count in args.tris:
+        t0 = time.perf_counter()
         tris, mids = build_scene_arrays(t_count)
-        tris_j, mids_j = jnp.asarray(tris), jnp.asarray(mids)
         bvh = build_bvh(tris, leaf_size=4)
-        packed = pack_bvh_for_kernel(bvh, tris, mids)
-        culled = pack_tris_culled(tris, mids, bvh.tri_order, sort_origin=origins[0])
+        p128 = pack_tris_culled(tris, mids, bvh.tri_order, sort_origin=o_np[0], tile_t=128)
+        p256 = pack_tris_culled(tris, mids, bvh.tri_order, sort_origin=o_np[0], tile_t=256)
+        tj, mj = jnp.asarray(tris), jnp.asarray(mids)
+        print(f"[T={t_count}] built in {time.perf_counter()-t0:.1f}s "
+              f"(clusters {p128.n_clusters}, supers {p128.n_super} x {p128.super_g})",
+              flush=True)
 
-        def inner_batched(intersect):
-            """Chain ``inner`` dependent kernel launches inside ONE jitted
-            program (scan with data dependence, so XLA cannot CSE them) —
-            amortises the per-dispatch latency of the tunneled TPU, which
-            otherwise floors every call at ~25 ms and hides kernel time."""
+        for ray_kind, (o_h, s_h) in (("fan", (o_np, s_np)), ("bounce", (ob_np, sb_np))):
+            o, s = jnp.asarray(o_h), jnp.asarray(s_h)
+            ref = None
+            row = {"tris": t_count, "rays": ray_kind}
+            for name, fn in cases:
+                if t_count > 300_000 and name in ("brute", "culled", "staged"):
+                    # brute/culled stream every tile (minutes at this size);
+                    # staged keeps its whole AABB tables in SMEM and exceeds
+                    # the 1 MB budget above ~2000 clusters
+                    continue
+                fnj = jax.jit(fn)
+                out = jax.block_until_ready(fnj(o, s, tj, mj, p128, p256))
+                if ref is None:
+                    ref = out
+                    agree = True
+                else:
+                    agree = bool(jnp.allclose(ref, out, rtol=1e-4))
+                if itp:
+                    m = measure(fn, perturb, (o, s, tj, mj, p128, p256),
+                                inner=args.inner, reps=args.reps)
+                    ms = m["best"] * 1e3
+                else:
+                    # DEVICE time from the profiler — immune to the tunnel's
+                    # flat per-dispatch penalty (benchmarking.py traps)
+                    prof = profile_device(
+                        fnj,
+                        lambda i: (o + i * 1e-7, s, tj, mj, p128, p256),
+                        n=5,
+                    )
+                    ms = prof["per_call_ms"]
+                row[name] = round(ms, 3)
+                row[f"{name}_agree"] = agree
+                print(f"  T={t_count} {ray_kind} {name}: {ms:.3f} ms "
+                      f"agree={agree}", flush=True)
+            if "brute" in row:
+                for name, _ in cases[1:]:
+                    if name in row:
+                        row[f"{name}_speedup"] = round(row["brute"] / row[name], 2)
+            all_rows.append(row)
 
-            def once(o, s):
-                def body(carry, _):
-                    oo = o + carry[:, None] * 1e-7
-                    t = intersect(oo, s)
-                    return t, None
-
-                t, _ = jax.lax.scan(
-                    body, jnp.zeros((o.shape[0],), jnp.float32), None,
-                    length=args.inner,
-                )
-                return t
-
-            return jax.jit(once)
-
-        brute = inner_batched(
-            lambda o, s: intersect_closest_pallas(o, s, tris_j, mids_j, interpret=args.interpret)["t"]
-        )
-        packet = inner_batched(
-            lambda o, s: bvh_packet_intersect(o, s, packed, interpret=args.interpret)["t"]
-        )
-        cull = inner_batched(
-            lambda o, s: intersect_closest_culled(o, s, culled, interpret=args.interpret)["t"]
-        )
-        staged = inner_batched(
-            lambda o, s: intersect_closest_staged(o, s, culled, interpret=args.interpret)["t"]
-        )
-
-        from mcray_tpu.ops.pallas.intersect import intersect_sorted
-
-        sorted_staged = inner_batched(
-            lambda o, s: intersect_sorted(
-                lambda oo, ss, p: intersect_closest_staged(oo, ss, p, interpret=args.interpret),
-                o, s, culled,
-            )["t"]
-        )
-        sorted_listed = inner_batched(
-            lambda o, s: intersect_sorted(
-                lambda oo, ss, p: intersect_closest_listed(oo, ss, p, interpret=args.interpret),
-                o, s, culled,
-            )["t"]
-        )
-        culled128 = pack_tris_culled(
-            tris, mids, bvh.tri_order, sort_origin=origins[0], tile_t=128
-        )
-        sorted_listed128 = inner_batched(
-            lambda o, s: intersect_sorted(
-                lambda oo, ss, p: intersect_closest_listed(oo, ss, p, interpret=args.interpret),
-                o, s, culled128,
-            )["t"]
-        )
-
-        sorted_listed2 = inner_batched(
-            lambda o, s: intersect_sorted(
-                lambda oo, ss, p: intersect_closest_listed(
-                    oo, ss, p, interpret=args.interpret, passes=2, front_k=args.front_k
-                ),
-                o, s, culled128,
-            )["t"]
-        )
-
-        candidates = [("brute", brute), ("culled", cull), ("staged", staged),
-                      ("staged+sort", sorted_staged), ("listed+sort", sorted_listed),
-                      ("listed128+sort", sorted_listed128),
-                      ("listed2x128+sort", sorted_listed2)]
-        if args.packet:
-            candidates.append(("packet-bvh", packet))
-        results = {}
-        for name, fn in candidates:
-            out = jax.block_until_ready(fn(o, s))
-            t0 = time.perf_counter()
-            for _ in range(args.reps):
-                out2 = jax.block_until_ready(fn(o, s))
-            dt = (time.perf_counter() - t0) / (args.reps * args.inner)
-            results[name] = (dt, out2)
-        agree = all(
-            bool(jnp.allclose(results["brute"][1], r[1], rtol=1e-4))
-            for r in results.values()
-        )
-        parts = ", ".join(f"{n} {r[0]*1e3:.2f} ms" for n, r in results.items())
-        print(
-            f"T={t_count}: {parts}, culled {results['brute'][0]/results['culled'][0]:.2f}x, "
-            f"staged {results['brute'][0]/results['staged'][0]:.2f}x, "
-            f"staged+sort {results['brute'][0]/results['staged+sort'][0]:.2f}x, agree={agree}",
-            flush=True,
-        )
-
-        # bounce-like incoherent rays
-        results_b = {}
-        for name, fn in [("brute", brute), ("staged", staged), ("staged+sort", sorted_staged), ("listed+sort", sorted_listed), ("listed128+sort", sorted_listed128), ("listed2x128+sort", sorted_listed2)]:
-            out = jax.block_until_ready(fn(ob, sb))
-            t0 = time.perf_counter()
-            for _ in range(args.reps):
-                out2 = jax.block_until_ready(fn(ob, sb))
-            dt = (time.perf_counter() - t0) / (args.reps * args.inner)
-            results_b[name] = (dt, out2)
-        agree_b = all(
-            bool(jnp.allclose(results_b["brute"][1], r[1], rtol=1e-4))
-            for r in results_b.values()
-        )
-        parts = ", ".join(f"{n} {r[0]*1e3:.2f} ms" for n, r in results_b.items())
-        print(
-            f"T={t_count} (bounce rays): {parts}, "
-            f"staged {results_b['brute'][0]/results_b['staged'][0]:.2f}x, "
-            f"staged+sort {results_b['brute'][0]/results_b['staged+sort'][0]:.2f}x, "
-            f"agree={agree_b}",
-            flush=True,
-        )
+    print(json.dumps(all_rows))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(all_rows, f, indent=1)
     return 0
 
 

@@ -239,6 +239,64 @@ def test_listed_frustum_prepass_matches_jnp(rng):
     )
 
 
+def test_listed_hier_prepass_matches_jnp(rng):
+    """The hierarchical prepass (exact per-ray slab at SUPER level x frustum
+    interval at cluster level) must list a SUPERSET of the exact per-ray
+    lists with keys that never exceed the exact keys (both are early-stop
+    lower bounds), and the kernel result must stay exact. Includes parked
+    dead rays and a small super_g so multiple supers exist."""
+    from mcray_tpu.ops.bvh import build_bvh
+    from mcray_tpu.ops.pallas.intersect import (
+        _packet_cluster_lists,
+        intersect_closest_listed,
+        pack_tris_culled,
+    )
+
+    tris, mid = _random_scene(rng, 900)
+    bvh = build_bvh(np.asarray(tris))
+    packed = pack_tris_culled(
+        np.asarray(tris), np.asarray(mid), bvh.tri_order, tile_t=128, super_g=2
+    )
+    n = 256
+    o = np.asarray(rng.uniform(-8, 8, (n, 3)), np.float32)
+    seg = np.asarray(rng.standard_normal((n, 3)) * 9, np.float32)
+    o[::17] = 1e9
+    seg[::17] = 0.0
+    o, seg = jnp.asarray(o), jnp.asarray(seg)
+
+    ce, ide, ke = _packet_cluster_lists(o, seg, packed, tile_r=128)
+    ch, idh, kh = _packet_cluster_lists(o, seg, packed, tile_r=128, method="hier")
+    for p in range(int(ce.shape[0])):
+        exact = {
+            int(c): float(k)
+            for c, k in zip(
+                np.asarray(ide)[p, : int(ce[p, 0])], np.asarray(ke)[p, : int(ce[p, 0])]
+            )
+        }
+        hier = {
+            int(c): float(k)
+            for c, k in zip(
+                np.asarray(idh)[p, : int(ch[p, 0])], np.asarray(kh)[p, : int(ch[p, 0])]
+            )
+        }
+        assert set(exact) <= set(hier), f"packet {p}: hier missed {set(exact) - set(hier)}"
+        for c, k_exact in exact.items():
+            assert hier[c] <= k_exact + 1e-6, (
+                f"packet {p} cluster {c}: hier key {hier[c]} > exact {k_exact}"
+            )
+
+    a = intersect_closest(o, seg, tris, mid)
+    b = intersect_closest_listed(o, seg, packed, interpret=True, list_method="hier")
+    np.testing.assert_array_equal(np.asarray(a["hit"]), np.asarray(b["hit"]))
+    np.testing.assert_allclose(
+        np.asarray(a["t"]), np.asarray(b["t"]), rtol=1e-5, atol=1e-7
+    )
+    hit = np.asarray(a["hit"])
+    np.testing.assert_array_equal(
+        np.asarray(a["mesh_id"])[hit], np.asarray(b["mesh_id"])[hit]
+    )
+
+
 def test_listed_intersect_no_hits_and_dead_rays(rng):
     """Empty per-packet lists (no survivors) and parked dead rays (zero
     segment at 1e9 — the bounce loop's dead-ray convention) return misses."""
