@@ -1,9 +1,11 @@
 """Per-stage timing of the frame pipeline on the current backend.
 
-Times each stage in its own jit (with realistic inputs carried between
-stages) plus the fused full frame, so regressions can be attributed.
-Chained reps inside each jit amortise dispatch latency (~25 ms through the
-tunneled TPU).
+SUPERSEDED for TPU work by scripts/roofline.py, which measures DEVICE time
+via jax.profiler and adds FLOP/byte accounting. This script's chained-jit
+wall times close over device arrays and therefore carry the tunnel's flat
+~25 ms per-dispatch penalty amortised over `--inner` (see
+mcray_tpu/utils/benchmarking.py for the measurement traps) — fine for
+relative regression checks at high --inner, wrong for absolute claims.
 
     python scripts/stage_profile.py [--scene assets/sphere/sphere.scene]
 """
