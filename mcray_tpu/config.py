@@ -92,6 +92,14 @@ class SimConfig:
     # (src/rfimage.h:54-91), "hilbert" = exact |analytic signal| via FFT
     # (SURVEY.md §7 item 4 calls for both).
     envelope_mode: str = "reference"
+    # Differentiable relaxation of add_echo's row binning: split each echo
+    # linearly across the two adjacent RF rows (weights 1-frac/frac of
+    # t/rdt) instead of the reference's truncating floor (src/rfimage.h:35).
+    # Makes the RF image differentiable in echo TIME — hence in probe pose
+    # and geometry — where the hard floor has zero derivative a.e. Changes
+    # the forward image (sub-row anti-aliasing), so parity mode keeps it
+    # off; jnp march path only (the Pallas march kernel keeps hard binning).
+    soft_row_binning: bool = False
     # Stop tracing a path once its round-trip time has left the image
     # window: every later segment starts at t0 >= max_travel_time_us, so its
     # march rows (floor(t_k/rdt) >= rf_rows) and boundary echo are all

@@ -312,21 +312,25 @@ def march_and_accumulate(
     )
     values = intens * scat
 
-    rows = imaging.time_to_row(t_k, cfg)
-    cols = jnp.broadcast_to(flat["element"][:, None], rows.shape)
+    cols = jnp.broadcast_to(flat["element"][:, None], t_k.shape)
 
     # boundary echo at t0 + dt*(steps-1); steps==0 underflows to a dropped
     # row in the reference (unsigned wrap, src/main.cpp:139) -> mask it out.
     s = cfg.samples_per_element
     b_time = t0 + dt * (steps.astype(jnp.float32) - 1.0)
     b_valid = flat["valid"] & (steps >= 1)
-    b_rows = imaging.time_to_row(b_time, cfg)
     b_vals = flat["reflected"] / s
 
-    all_rows = jnp.concatenate([rows.reshape(-1), b_rows])
     all_cols = jnp.concatenate([cols.reshape(-1), flat["element"]])
     all_vals = jnp.concatenate([values.reshape(-1), b_vals])
     all_valid = jnp.concatenate([live.reshape(-1), b_valid])
+    all_times = jnp.concatenate([t_k.reshape(-1), b_time])
+    if cfg.soft_row_binning:
+        # differentiable two-row split: d(RF)/d(time) flows (probe pose AD)
+        return imaging.accumulate_echoes_soft(
+            all_times, all_cols, all_vals, all_valid, cfg, n_cols
+        )
+    all_rows = imaging.time_to_row(all_times, cfg)
     return imaging.accumulate_echoes(all_rows, all_cols, all_vals, all_valid, cfg, n_cols)
 
 
@@ -359,7 +363,7 @@ def render(
         cfg,
         **trace_kw,
     )
-    if use_pallas_march:
+    if use_pallas_march and not cfg.soft_row_binning:
         from ..ops.pallas.march import march_and_accumulate_pallas
 
         rf_raw = march_and_accumulate_pallas(segments, materials, volume, cfg)
@@ -422,10 +426,11 @@ class Simulator:
             # elsewhere (CPU tests). All kernels carry custom VJPs (march,
             # fused postproc, MXU scan conversion) or are gradient-transparent
             # (intersect returns the discrete winner; t recomputed in jnp),
-            # so the differentiable fit runs on the fast path too.
-            use_pallas_march = (
-                jax.default_backend() == "tpu" and cfg.texture_mode == "procedural"
-            )
+            # so the differentiable fit runs on the fast path too. Both
+            # texture modes qualify: "table" volumes are materialised from
+            # the hash field and carry its seeds, so the kernel's procedural
+            # evaluation equals the table gather bit-for-bit (texture.py).
+            use_pallas_march = jax.default_backend() == "tpu"
         self.use_pallas_march = use_pallas_march
         # fused conv+envelope kernel: measured 14.3 -> 8.6 ms/frame batched
         # on v5e; default-on wherever the march kernel is on

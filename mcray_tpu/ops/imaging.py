@@ -56,6 +56,29 @@ def accumulate_echoes(
     return rf.at[safe_rows, safe_cols].add(vals)
 
 
+def accumulate_echoes_soft(
+    times_us: Array,  # (N,) f32 echo round-trip times [us]
+    cols: Array,      # (N,) i32 target columns
+    values: Array,    # (N,) f32 echo intensities
+    valid: Array,     # (N,) bool
+    cfg: SimConfig,
+    n_cols: int | None = None,
+) -> Array:
+    """Differentiable two-row relaxation of add_echo (cfg.soft_row_binning):
+    each echo lands in rows floor(t/rdt) and floor(t/rdt)+1 with linear
+    weights, so d(RF)/d(time) is the finite row-difference instead of zero.
+    Total deposited energy equals the hard binning's (weights sum to 1)."""
+    rf_row = times_us / cfg.rf_row_dt_us
+    r0f = jnp.floor(rf_row)
+    frac = rf_row - jax.lax.stop_gradient(r0f)  # gradient rides frac only
+    r0 = r0f.astype(jnp.int32)
+    rows2 = jnp.concatenate([r0, r0 + 1])
+    cols2 = jnp.concatenate([cols, cols])
+    vals2 = jnp.concatenate([values * (1.0 - frac), values * frac])
+    valid2 = jnp.concatenate([valid, valid])
+    return accumulate_echoes(rows2, cols2, vals2, valid2, cfg, n_cols)
+
+
 # ---------------------------------------------------------------------------
 # PSF convolution (reference convolve, src/rfimage.h:93-123)
 # ---------------------------------------------------------------------------

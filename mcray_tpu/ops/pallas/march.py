@@ -505,11 +505,20 @@ def march_and_accumulate_pallas(
     *,
     interpret: bool = False,
 ):
-    """Drop-in replacement for simulator.march_and_accumulate (procedural
-    texture mode only). Returns the (rf_rows, n_cols) RF image.
-    Differentiable: carries a custom VJP (see module docstring)."""
+    """Drop-in replacement for simulator.march_and_accumulate. Returns the
+    (rf_rows, n_cols) RF image. Differentiable: carries a custom VJP (see
+    module docstring).
+
+    Works for BOTH texture modes: "procedural" volumes carry seeds directly;
+    "table" volumes are materialised from the same hash field and carry the
+    seeds alongside (make_texture_volume), so evaluating the hash in-kernel
+    reproduces the table gather bit-for-bit — no (size^3) HBM gather needed."""
     if "seeds" not in volume:
-        raise ValueError("pallas march requires texture_mode='procedural'")
+        raise ValueError(
+            "pallas march requires a volume with 'seeds' (make_texture_volume "
+            "provides them for both 'procedural' and 'table' modes); externally "
+            "supplied raw tables must use the jnp march path"
+        )
     c = n_cols or cfg.rf_cols
     soa = pack_segments(segments, materials, cfg, c)
     seeds = volume["seeds"].astype(jnp.int32).reshape(1, 2)

@@ -32,25 +32,38 @@ def make_texture_volume(key: Array, cfg: SimConfig) -> dict[str, Array]:
     """Scatterer field state.
 
     ``cfg.texture_mode``:
-    - "table": materialised (size^3) noise + probability fields (the
-      reference's memory layout; 134 MB at 256^3 and a 12M-point random
-      gather per frame — measured 194 ms/frame on one v5e chip).
-    - "procedural" (default): no storage — the same iid N(0,1)-per-voxel
-      field computed on the fly from an integer voxel hash + Box-Muller.
-      Identical distribution and identical %size tiling, zero HBM traffic;
-      the whole lookup is VPU arithmetic. This is the TPU-first design: the
-      reference's table is itself just cached white noise (src/volume.h:19-35).
+    - "procedural" (default): no storage — an iid N(0,1)-per-voxel field
+      computed on the fly from an integer voxel hash + Box-Muller.
+      Identical distribution and identical %size tiling to the reference's
+      table, zero HBM traffic; the whole lookup is VPU arithmetic. This is
+      the TPU-first design: the reference's table is itself just cached
+      white noise (src/volume.h:19-35).
+    - "table": materialised (size^3) noise + probability fields — the
+      reference's memory layout (src/volume.h:19-35; 134 MB at 256^3),
+      exercised by the jnp gather path. The table is FILLED from the same
+      hash field (``procedural_fields`` evaluated at every voxel), and the
+      dict keeps ``seeds`` too, so ``table[i,j,k] == procedural(i,j,k)``
+      bit-for-bit: the Pallas march kernel can evaluate the hash instead of
+      gathering and produce the identical image (tested in
+      tests/test_texture.py / tests/test_pallas_march.py). The reference
+      seeds its table with an implementation-defined engine we match only
+      statistically (SURVEY.md §4), so defining the table as the cached
+      hash field loses nothing.
     """
-    if cfg.texture_mode == "procedural":
-        k1, k2 = jax.random.split(key)
-        seeds = jax.random.randint(k1, (2,), 0, 2**31 - 1, dtype=jnp.int32)
-        return {"seeds": seeds.astype(jnp.uint32)}
     k1, k2 = jax.random.split(key)
+    seeds = jax.random.randint(k1, (2,), 0, 2**31 - 1, dtype=jnp.int32)
+    seeds = seeds.astype(jnp.uint32)
+    if cfg.texture_mode == "procedural":
+        return {"seeds": seeds}
     s = cfg.volume_size
-    return {
-        "noise": jax.random.normal(k1, (s, s, s), jnp.float32),
-        "prob": jax.random.normal(k2, (s, s, s), jnp.float32),
-    }
+    ix, iy, iz = jnp.meshgrid(
+        jnp.arange(s, dtype=jnp.int32),
+        jnp.arange(s, dtype=jnp.int32),
+        jnp.arange(s, dtype=jnp.int32),
+        indexing="ij",
+    )
+    noise, prob = procedural_fields(ix, iy, iz, seeds, s)
+    return {"noise": noise, "prob": prob, "seeds": seeds}
 
 
 def hash_u32(x: Array) -> Array:
@@ -95,13 +108,15 @@ def get_scattering(
 ) -> Array:
     res = cfg.resolution_um / 1000.0
     size = cfg.volume_size
-    procedural = "seeds" in volume
-    if procedural:
-        def fetch(ix, iy, iz):
-            return procedural_fields(ix, iy, iz, volume["seeds"], size)
-    else:
+    # prefer the materialised table when present (reference memory layout,
+    # gather path); table volumes also carry "seeds" and are bit-identical
+    # to the hash field (see make_texture_volume)
+    if "noise" in volume:
         def fetch(ix, iy, iz):
             return volume["noise"][ix, iy, iz], volume["prob"][ix, iy, iz]
+    else:
+        def fetch(ix, iy, iz):
+            return procedural_fields(ix, iy, iz, volume["seeds"], size)
 
     if cfg.trilinear_texture:
         f = points / res - 0.5

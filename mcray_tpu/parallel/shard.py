@@ -271,8 +271,10 @@ class ShardedRenderer:
                 f"evenly over {n_dev} devices"
             )
         if use_pallas is None:
+            # both texture modes qualify: "table" volumes carry the hash
+            # seeds that the march kernel evaluates (see texture.py)
             use_pallas = (
-                jax.default_backend() == "tpu" and cfg.texture_mode == "procedural"
+                jax.default_backend() == "tpu" and not cfg.soft_row_binning
             )
         # large scenes: cluster-culled intersect kernel (same policy as
         # Simulator), replicated scene per chip, chip-local ray tiles

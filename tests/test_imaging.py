@@ -3,6 +3,7 @@ port of the reference's C++ loops (the oracle implements src/rfimage.h
 line-by-line in numpy; the framework implements the same math as parallel
 tensor ops)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -129,6 +130,41 @@ def test_add_echo_binning(rng, cfg):
         )
     )
     np.testing.assert_allclose(ours, rf_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_soft_row_binning_conserves_energy_and_differentiates(rng, cfg):
+    """cfg.soft_row_binning: per-echo two-row linear split (a) deposits the
+    same total energy as the hard floor binning for in-window echoes, (b) is
+    differentiable in echo time with the finite row-difference as gradient
+    (the hard floor's a.e.-zero derivative is the VERDICT r3 item 7 root
+    cause for unusable AD pose gradients)."""
+    n = 300
+    cols = jnp.asarray(rng.integers(0, cfg.rf_cols, n), jnp.int32)
+    # keep an entire row of margin so both split rows stay in-window
+    micros = jnp.asarray(
+        rng.uniform(cfg.rf_row_dt_us, (cfg.rf_rows - 2) * cfg.rf_row_dt_us, n),
+        jnp.float32,
+    )
+    vals = jnp.asarray(rng.uniform(0.1, 1.0, n), jnp.float32)
+    ok = jnp.ones(n, bool)
+
+    hard = imaging.accumulate_echoes(
+        imaging.time_to_row(micros, cfg), cols, vals, ok, cfg
+    )
+    soft = imaging.accumulate_echoes_soft(micros, cols, vals, ok, cfg)
+    np.testing.assert_allclose(float(soft.sum()), float(hard.sum()), rtol=1e-5)
+
+    def f(dt_us):
+        return jnp.sum(
+            imaging.accumulate_echoes_soft(micros + dt_us, cols, vals, ok, cfg)
+            * jnp.arange(cfg.rf_rows, dtype=jnp.float32)[:, None]
+        )
+
+    g = float(jax.grad(f)(0.0))
+    # moving every echo later by rdt shifts each value down one row: the
+    # row-weighted sum grows by sum(vals) per rdt
+    expected = float(vals.sum()) / cfg.rf_row_dt_us
+    np.testing.assert_allclose(g, expected, rtol=1e-3)
 
 
 def test_scan_maps_reference_formulas():

@@ -42,8 +42,27 @@ def test_pallas_march_matches_jnp(setup):
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
 
-def test_pallas_march_rejects_table_mode(setup):
+def test_pallas_march_rejects_seedless_table(setup):
+    """Externally supplied raw tables (no seeds) cannot use the kernel."""
     cfg, mats, segs, _ = setup
     table_vol = {"noise": jnp.zeros((4, 4, 4)), "prob": jnp.zeros((4, 4, 4))}
     with pytest.raises(ValueError):
         march_and_accumulate_pallas(segs, mats, table_vol, cfg, interpret=True)
+
+
+def test_pallas_march_table_mode_matches_jnp_gather(setup):
+    """texture_mode='table': the jnp path gathers from the materialised
+    table; the kernel evaluates the hash field the table was filled from.
+    Both must produce the same RF image (VERDICT r3 item 5: table mode no
+    longer falls off the fast path). Reference layout: src/volume.h:19-61."""
+    cfg, mats, segs, _ = setup
+    cfg_t = small_test_config(
+        transducer_elements=32, samples_per_element=2, texture_mode="table"
+    )
+    vol_t = texture.make_texture_volume(jax.random.PRNGKey(1), cfg_t)
+    assert "noise" in vol_t and "seeds" in vol_t
+    ref = np.asarray(march_and_accumulate(segs, mats, vol_t, cfg_t))
+    out = np.asarray(
+        march_and_accumulate_pallas(segs, mats, vol_t, cfg_t, interpret=True)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)

@@ -74,6 +74,29 @@ def test_procedural_field_distribution():
     assert abs(np.corrcoef(a, b)[0, 1]) < 0.01
 
 
+def test_table_mode_bit_identical_to_procedural():
+    """The materialised table is filled from procedural_fields, so the table
+    gather and the on-the-fly hash evaluation agree bit-for-bit at every
+    lookup — the invariant that lets the Pallas march kernel serve
+    texture_mode='table' without a (size^3) HBM gather."""
+    cfg_t = small_test_config(texture_mode="table")
+    cfg_p = small_test_config(texture_mode="procedural")
+    vol_t = _vol(cfg_t, seed=3)
+    vol_p = _vol(cfg_p, seed=3)
+    np.testing.assert_array_equal(
+        np.asarray(vol_t["seeds"]), np.asarray(vol_p["seeds"])
+    )
+    pts = jnp.asarray(
+        np.random.default_rng(1).uniform(-20, 20, (500, 3)), jnp.float32
+    )
+    dens = jnp.full((500,), 0.3)
+    mu = jnp.full((500,), 0.1)
+    sig = jnp.full((500,), 0.7)
+    a = texture.get_scattering(vol_t, dens, mu, sig, pts, cfg_t)
+    b = texture.get_scattering(vol_p, dens, mu, sig, pts, cfg_p)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_soft_mode_differentiable():
     cfg = small_test_config(soft_scattering=True, trilinear_texture=True)
     vol = _vol(cfg)
