@@ -67,7 +67,6 @@ def trace_paths(
     bvh_arrays: tuple | None = None,
     intersect_chunk: int = 0,
     use_pallas_intersect: bool = False,
-    packet_bvh: dict | None = None,
     culled_tris=None,
     intersect_tile_r: int = 128,
     sort_packets: bool = False,
@@ -119,8 +118,15 @@ def trace_paths(
     # identical to deriving per bounce inside the scan
     bounce_draws = physics.draw_bounce_randoms(path_keys, cfg.max_depth)
 
+    # per-mesh inside-thickness, composed on the tiny (n_mesh,) axis so the
+    # per-ray lookup below is a single one-hot row (see physics.take_rows)
+    thick_by_mesh = physics.take_rows(materials, mesh_in)[:, physics.THICKNESS]
+
     def bounce(state, draws):
-        att = materials[state["media_id"], physics.ATTENUATION]
+        att = physics.take_rows(
+            materials[:, physics.ATTENUATION : physics.ATTENUATION + 1],
+            state["media_id"],
+        )[:, 0]
         r_length = physics.max_ray_length(
             jnp.maximum(state["intensity"], eps * 1e-3), att, freq, eps
         )
@@ -142,11 +148,7 @@ def trace_paths(
         seg_vec = (dest - origin) * alive_col
         origin = jnp.where(alive_col, origin, 1e9)
 
-        if packet_bvh is not None:
-            from ..ops.pallas.bvh_packet import bvh_packet_intersect
-
-            hits = bvh_packet_intersect(origin, seg_vec, packet_bvh)
-        elif culled_tris is not None:
+        if culled_tris is not None:
             from ..ops.pallas import intersect as I
 
             packed, mode = culled_tris
@@ -185,7 +187,7 @@ def trace_paths(
         # sub-surface penetration fuzz: q ~ |N(0, thickness_inside)|
         # (src/scene.cpp:129-139)
         mesh_id_c = jnp.maximum(hits["mesh_id"], 0)
-        thick = materials[mesh_in[mesh_id_c], physics.THICKNESS]
+        thick = physics.take_rows(thick_by_mesh[:, None], mesh_id_c)[:, 0]
         q = jnp.abs(draws["q_normal"] * thick)
         inside_point = hits["point"] + q[:, None] * state["dir"]
 
@@ -263,9 +265,10 @@ def segment_march_quantities(segments: dict[str, Array], materials: Array, cfg: 
     steps = jnp.floor(seg_len / axres)
     t0 = segments["distance"] * 1000.0 / cfg.speed_of_sound
     ln_att_step = -segments["attenuation"] * axres * 0.01 * cfg.transducer_frequency
-    mu0 = materials[segments["media_id"], physics.MU0]
-    mu1 = materials[segments["media_id"], physics.MU1]
-    sigma = materials[segments["media_id"], physics.SIGMA]
+    rows = physics.take_rows(materials, segments["media_id"])
+    mu0 = rows[..., physics.MU0]
+    mu1 = rows[..., physics.MU1]
+    sigma = rows[..., physics.SIGMA]
     return steps, t0, ln_att_step, mu0, mu1, sigma
 
 
@@ -410,7 +413,6 @@ class Simulator:
         use_bvh: bool = False,
         seed: int = 0,
         use_pallas_march: bool | None = None,
-        use_packet_bvh: bool = False,
         use_fused_postproc: bool | None = None,
         use_culled_intersect: bool | None = None,
         use_pallas_scanconv: bool | None = None,
@@ -448,7 +450,6 @@ class Simulator:
             # while-loop BVH path instead of being silently replaced
             use_culled_intersect = (
                 jax.default_backend() == "tpu"
-                and not use_packet_bvh
                 and not self.use_bvh
                 and pack.n_triangles >= 2048
             )
@@ -488,16 +489,6 @@ class Simulator:
             intersect_tile_r = 512 if self.culled_tris is not None else 128
         self.intersect_tile_r = intersect_tile_r
         self.sort_packets = sort_packets
-        # packet-BVH path: explicit opt-in (interpret-verified; compiled TPU
-        # profile still pending — the scalar-heavy traversal loop compiles
-        # slowly under Mosaic); jnp while_loop traversal is the default BVH
-        self.packet_bvh = None
-        if use_packet_bvh and self.use_bvh:
-            from ..ops.pallas.bvh_packet import pack_bvh_for_kernel
-
-            self.packet_bvh = pack_bvh_for_kernel(
-                pack.bvh, pack.tris, pack.tri_mesh_id
-            )
         self.scene = {k: jnp.asarray(v) for k, v in pack.trace_tables().items()}
         self.spacing = jnp.asarray(pack.spacing)
         self.starting_material = jnp.int32(pack.starting_material)
@@ -545,7 +536,6 @@ class Simulator:
             "scan_table": self.scan_table,
             "packed": self.culled_tris[0] if self.culled_tris else None,
             "bvh_arrays": self.bvh_arrays,
-            "packet_bvh": self.packet_bvh,
         }
         intersect_mode_static = self.culled_tris[1] if self.culled_tris else None
 
@@ -569,10 +559,9 @@ class Simulator:
                 use_pallas_march=self.use_pallas_march,
                 use_fused_postproc=self.use_fused_postproc,
                 scan_table=state["scan_table"],
-                use_bvh=self.use_bvh and self.packet_bvh is None,
+                use_bvh=self.use_bvh,
                 bvh_arrays=state["bvh_arrays"],
                 use_pallas_intersect=self.use_pallas_intersect,
-                packet_bvh=state["packet_bvh"],
                 culled_tris=culled,
                 intersect_tile_r=self.intersect_tile_r,
                 sort_packets=self.sort_packets,

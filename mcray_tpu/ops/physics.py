@@ -32,6 +32,25 @@ Array = jax.Array
 IMPEDANCE, ATTENUATION, MU0, MU1, SIGMA, SPECULARITY, SHININESS, THICKNESS = range(8)
 
 
+def take_rows(table: Array, ids: Array) -> Array:
+    """``table[ids]`` for a SMALL first axis via one-hot matmul.
+
+    XLA lowers per-row dynamic gathers to serialised ~57 ns/element loops on
+    TPU — seven such (2560,)-sized gathers inside the bounce scan cost
+    ~1.0 ms/frame, dominating the trace stage (profiled round 4). A
+    (N, M) one-hot times (M, ...) table is VPU work at microseconds. Exact:
+    each output row sums one 1.0*value against zeros (precision=HIGHEST
+    keeps the multiply f32), and the transpose (scatter-add) matches the
+    gather's VJP, so material gradients are unchanged bit-for-bit."""
+    m = table.shape[0]
+    oh = jax.nn.one_hot(ids, m, dtype=table.dtype)
+    flat = table.reshape(m, -1)
+    out = jax.lax.dot_general(
+        oh, flat, (((1,), (0,)), ((), ())), precision=jax.lax.Precision.HIGHEST
+    )
+    return out.reshape(ids.shape + table.shape[1:])
+
+
 def safe_pow(base: Array, exponent: Array) -> Array:
     """max(base,0)^exponent with 0^e = 0 — the value the reference's
     max(pow(...), 0) composition intends for positive exponents. Double-where
@@ -269,16 +288,30 @@ def hit_boundary(
     lets the caller batch all threefry work outside its bounce loop. When
     given, ``keys`` is unused.
     """
-    mesh_id_c = jnp.maximum(mesh_id, 0)  # safe gather for missed rays (masked upstream)
-    m_in = mesh_mat_inside[mesh_id_c]
-    m_out = mesh_mat_outside[mesh_id_c]
-    vascular = mesh_is_vascular[mesh_id_c]
+    mesh_id_c = jnp.maximum(mesh_id, 0)  # safe lookup for missed rays (masked upstream)
+    # one fused one-hot lookup over the mesh tables (values are small ints,
+    # exact in f32; see take_rows for why not a gather)
+    mesh_tab = jnp.stack(
+        [
+            mesh_mat_inside.astype(jnp.float32),
+            mesh_mat_outside.astype(jnp.float32),
+            mesh_is_vascular.astype(jnp.float32),
+        ],
+        axis=1,
+    )
+    mesh_rows = take_rows(mesh_tab, mesh_id_c)
+    m_in = mesh_rows[:, 0].astype(jnp.int32)
+    m_out = mesh_rows[:, 1].astype(jnp.int32)
+    vascular = mesh_rows[:, 2] > 0.5
 
     mat_after, out_after = material_transition(
         media_id, media_outside_id, vascular, m_in, m_out, cfg
     )
 
-    shininess = materials[mat_after, SHININESS]
+    # one materials-row lookup per distinct id vector; columns sliced below
+    rows_media = take_rows(materials, media_id)
+    rows_after = take_rows(materials, mat_after)
+    shininess = rows_after[:, SHININESS]
     if draws is None:
         ks = split_each(keys, 3)
         random_angle = power_cosine_variate_batched(ks[:, 0], shininess)
@@ -295,8 +328,8 @@ def hit_boundary(
     # incidence = |d . n| via the reference's flip-if-negative (src/ray.cpp:53-57)
     incidence = jnp.abs(jnp.sum(direction * random_normal, axis=-1))
 
-    z1 = materials[media_id, IMPEDANCE]
-    z2 = materials[mat_after, IMPEDANCE]
+    z1 = rows_media[:, IMPEDANCE]
+    z2 = rows_after[:, IMPEDANCE]
     ratio = z1 / z2
 
     refr_sq = 1.0 - ratio * ratio * (1.0 - incidence * incidence)
@@ -315,7 +348,7 @@ def hit_boundary(
     )
     i_refr = intensity - i_refl
 
-    spec_after = materials[mat_after, SPECULARITY]
+    spec_after = rows_after[:, SPECULARITY]
     back = (
         reflected_intensity_mattausch(direction, refr_dir, refl_dir, spec_after, tir)
         * random_angle

@@ -71,7 +71,7 @@ def main() -> int:
 
             kw = dict(
                 use_bvh=False, bvh_arrays=None, use_pallas_intersect=False,
-                packet_bvh=None, culled_tris=sim.culled_tris,
+                culled_tris=sim.culled_tris,
                 intersect_tile_r=tile_r,
             )
             if not sort:

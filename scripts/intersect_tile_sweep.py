@@ -60,7 +60,6 @@ def main() -> int:
         use_bvh=False,
         bvh_arrays=None,
         use_pallas_intersect=False,
-        packet_bvh=None,
         culled_tris=sim.culled_tris,
     )
     segs = jax.jit(

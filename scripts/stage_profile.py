@@ -61,10 +61,9 @@ def main() -> int:
     ang = jnp.asarray(pack.transducer_angles)
 
     trace_kw = dict(
-        use_bvh=sim.use_bvh and sim.packet_bvh is None,
+        use_bvh=sim.use_bvh,
         bvh_arrays=sim.bvh_arrays,
         use_pallas_intersect=sim.use_pallas_intersect,
-        packet_bvh=sim.packet_bvh,
         culled_tris=sim.culled_tris,
     )
 
