@@ -133,8 +133,8 @@ def main() -> int:
         roof_extra = {
             "sphere_frame_device_ms": s["full_frame_ms"],
             "frame_gflops": s["frame_gflops"],
-            "frame_effective_tflops": s["frame_effective_tflops"],
-            "frame_pct_vpu_peak": s["frame_pct_vpu_peak"],
+            "frame_roofline_ms": s["frame_roofline_ms"],
+            "frame_pct_of_roofline": s["frame_pct_of_roofline"],
             "stage_device_ms": {
                 r["stage"]: r["ms"] for r in s["stages"]
             },

@@ -209,13 +209,16 @@ class CulledTris:
     n_super: int
     scene_lo: jax.Array = None  # (3,) scene AABB, for packet sort keys
     scene_hi: jax.Array = None
+    slot_all: jax.Array = None  # (C*TILE_T, 10) f32 [v0 e1 e2 mesh_id] — ONE
+    #                             winner gather instead of four (XLA lowers
+    #                             each row-gather serially at ~57 ns/row)
     tile_t: int = TILE_T  # triangles per cluster (listed kernel honours this;
     #                       culled/staged require the default TILE_T)
     super_g: int = SUPER_G  # clusters per super-cluster
 
 
 _CULLED_ARRAY_FIELDS = (
-    "soa", "slot_mesh_id", "slot_v0", "slot_e1", "slot_e2",
+    "soa", "slot_mesh_id", "slot_v0", "slot_e1", "slot_e2", "slot_all",
     "hbm_tris", "aabb_cluster", "aabb_super", "scene_lo", "scene_hi",
 )
 _CULLED_STATIC_FIELDS = ("n_slots", "n_clusters", "n_super", "tile_t", "super_g")
@@ -309,6 +312,9 @@ def pack_tris_culled(
     slot_v0[:t] = v0
     slot_e1[:t] = e1
     slot_e2[:t] = e2
+    slot_all = np.concatenate(
+        [slot_v0, slot_e1, slot_e2, slot_mid[:, None].astype(np.float32)], axis=1
+    )  # mesh ids are small ints — exact in f32
 
     # --- staged (HBM-resident) layout for the two-level kernel ------------
     # pad the cluster count to a super_g multiple; padding clusters carry a
@@ -362,6 +368,7 @@ def pack_tris_culled(
         slot_v0=jnp.asarray(slot_v0),
         slot_e1=jnp.asarray(slot_e1),
         slot_e2=jnp.asarray(slot_e2),
+        slot_all=jnp.asarray(slot_all),
         n_slots=n_tot,
         hbm_tris=jnp.asarray(hbm),
         aabb_cluster=jnp.asarray(aabb_c),
@@ -373,6 +380,28 @@ def pack_tris_culled(
         tile_t=tile_t,
         super_g=super_g,
     )
+
+
+def _winner_hits(origins, seg_vecs, packed: CulledTris, best_slot, hit, eps):
+    """Shared wrapper tail: differentiable t of the kernel-chosen winner plus
+    point/normal/mesh id, from ONE (N, 10) slot_all gather (separate
+    v0/e1/e2/mesh gathers cost ~4x in serialized XLA gather loops)."""
+    rows = packed.slot_all[best_slot]
+    v0, e1, e2 = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
+    mesh = rows[:, 9].astype(jnp.int32)
+    t_diff, _ = _moller_trumbore(origins, seg_vecs, v0, e1, e2, eps=eps)
+    best_t = jnp.where(hit, t_diff, NO_HIT_T)
+    point = origins + best_t[:, None] * seg_vecs
+    face_n = normalize(jnp.cross(e1, e2), eps=1e-20)
+    flip = jnp.sum(face_n * seg_vecs, axis=-1) > 0.0
+    normal = jnp.where(flip[:, None], -face_n, face_n)
+    return {
+        "hit": hit,
+        "t": best_t,
+        "point": point,
+        "normal": normal,
+        "mesh_id": jnp.where(hit, mesh, -1).astype(jnp.int32),
+    }
 
 
 def _part1by2_5bit(x):
@@ -603,30 +632,7 @@ def intersect_closest_staged(
 
     hit = best_t[0, :n] < 1.5
     best_slot = jnp.minimum(best_slot[0, :n], packed.n_slots - 1)
-    t_diff, _ = _moller_trumbore(
-        origins,
-        seg_vecs,
-        packed.slot_v0[best_slot],
-        packed.slot_e1[best_slot],
-        packed.slot_e2[best_slot],
-        eps=eps,
-    )
-    best_t = jnp.where(hit, t_diff, NO_HIT_T)
-    point = origins + best_t[:, None] * seg_vecs
-    e1 = packed.slot_e1[best_slot]
-    e2 = packed.slot_e2[best_slot]
-    face_n = normalize(jnp.cross(e1, e2), eps=1e-20)
-    flip = jnp.sum(face_n * seg_vecs, axis=-1) > 0.0
-    normal = jnp.where(flip[:, None], -face_n, face_n)
-    return {
-        "hit": hit,
-        "t": best_t,
-        "point": point,
-        "normal": normal,
-        "mesh_id": jnp.where(hit, packed.slot_mesh_id[best_slot], -1).astype(
-            jnp.int32
-        ),
-    }
+    return _winner_hits(origins, seg_vecs, packed, best_slot, hit, eps)
 
 
 def _slab_per_axis(o, inv, aabb):
@@ -1123,30 +1129,7 @@ def intersect_closest_listed(
     # otherwise read as a (bogus) hit under `t < 1.5`
     hit = live[:n] & (best_t[0, :n] < 1.5)
     best_slot = jnp.minimum(best_slot[0, :n], packed.n_slots - 1)
-    t_diff, _ = _moller_trumbore(
-        origins,
-        seg_vecs,
-        packed.slot_v0[best_slot],
-        packed.slot_e1[best_slot],
-        packed.slot_e2[best_slot],
-        eps=eps,
-    )
-    best_t = jnp.where(hit, t_diff, NO_HIT_T)
-    point = origins + best_t[:, None] * seg_vecs
-    e1 = packed.slot_e1[best_slot]
-    e2 = packed.slot_e2[best_slot]
-    face_n = normalize(jnp.cross(e1, e2), eps=1e-20)
-    flip = jnp.sum(face_n * seg_vecs, axis=-1) > 0.0
-    normal = jnp.where(flip[:, None], -face_n, face_n)
-    return {
-        "hit": hit,
-        "t": best_t,
-        "point": point,
-        "normal": normal,
-        "mesh_id": jnp.where(hit, packed.slot_mesh_id[best_slot], -1).astype(
-            jnp.int32
-        ),
-    }
+    return _winner_hits(origins, seg_vecs, packed, best_slot, hit, eps)
 
 
 def _intersect_culled_kernel(rays_ref, tris_ref, t_ref, idx_ref, *, eps: float):

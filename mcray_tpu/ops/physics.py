@@ -43,7 +43,7 @@ def take_rows(table: Array, ids: Array) -> Array:
     keeps the multiply f32), and the transpose (scatter-add) matches the
     gather's VJP, so material gradients are unchanged bit-for-bit."""
     m = table.shape[0]
-    oh = jax.nn.one_hot(ids, m, dtype=table.dtype)
+    oh = jax.nn.one_hot(ids.reshape(-1), m, dtype=table.dtype)
     flat = table.reshape(m, -1)
     out = jax.lax.dot_general(
         oh, flat, (((1,), (0,)), ((), ())), precision=jax.lax.Precision.HIGHEST

@@ -122,13 +122,15 @@ def postproc_cost(cfg) -> StageCost:
     return StageCost("postproc", flops, bytes_, "vpu")
 
 
-def scanconv_cost(cfg) -> StageCost:
+def scanconv_cost(cfg, band_r: int | None = None) -> StageCost:
     """MXU one-hot-matmul scan conversion: per output row, a
-    (rf_cols x rf_rows_pad) @ (rf_rows_pad x w_pad) bf16 matmul plus the
-    one-hot build; 2 FLOPs/MAC."""
+    (rf_cols x K) @ (K x w_pad) bf16 matmul plus the one-hot build,
+    2 FLOPs/MAC — K = the full padded RF row count, or ``band_r`` for the
+    banded kernel (per-column-tile RF row bands)."""
     r_pad = ((cfg.rf_rows + 127) // 128) * 128
     w_pad = ((cfg.bmode_cols + 127) // 128) * 128
-    flops = 2.0 * cfg.bmode_rows * cfg.rf_cols * r_pad * w_pad
+    k = band_r if band_r else r_pad
+    flops = 2.0 * cfg.bmode_rows * cfg.rf_cols * k * w_pad
     bytes_ = (
         cfg.rf_rows * cfg.rf_cols * 4          # RF image (VMEM-resident)
         + cfg.bmode_rows * 8 * w_pad * 4       # interpolation table

@@ -194,6 +194,9 @@ def stage_table(scene_path: str, inner: int = 16, reps: int = 4) -> dict:
     total_flops = sum(c.flops for c in costs.values())
     total_bytes = sum(c.hbm_bytes for c in costs.values())
     full_s = times["full_frame"]["best"]
+    # achievable floor: each stage at its own unit's peak (MXU flops must
+    # not be compared against the VPU ceiling)
+    roofline_s = sum(r["roofline_ms"] for r in rows) / 1e3
     summary = {
         "scene": scene_path,
         "triangles": pack.n_triangles,
@@ -203,9 +206,8 @@ def stage_table(scene_path: str, inner: int = 16, reps: int = 4) -> dict:
         "sum_stage_ms": round(sum(times[t]["best"] for t in stage_of_time) * 1e3, 3),
         "frame_gflops": round(total_flops / 1e9, 2),
         "frame_hbm_mb": round(total_bytes / 1e6, 2),
-        "frame_effective_tflops": round(total_flops / full_s / 1e12, 3),
-        "frame_pct_vpu_peak": round(
-            100 * total_flops / full_s / R.V5E_VPU_F32_FLOPS, 2),
+        "frame_roofline_ms": round(roofline_s * 1e3, 3),
+        "frame_pct_of_roofline": round(100 * roofline_s / full_s, 1),
         "frame_effective_gbps": round(total_bytes / full_s / 1e9, 2),
     }
     return summary
@@ -227,8 +229,9 @@ def to_markdown(s: dict) -> str:
         )
     lines.append(
         f"\nFull frame {s['full_frame_ms']} ms (stage sum {s['sum_stage_ms']} ms); "
-        f"{s['frame_gflops']} GFLOP/frame -> {s['frame_effective_tflops']} TFLOP/s "
-        f"effective = {s['frame_pct_vpu_peak']}% of VPU f32 peak; "
+        f"{s['frame_gflops']} GFLOP/frame; per-stage roofline floor "
+        f"{s['frame_roofline_ms']} ms -> frame runs at "
+        f"{s['frame_pct_of_roofline']}% of its roofline; "
         f"{s['frame_effective_gbps']} GB/s HBM."
     )
     return "\n".join(lines)
