@@ -164,6 +164,13 @@ class PoseFitter:
 
     - ``method="ad"``: Adam on AD gradients of plain pixel MSE. Kept as the
       machinery baseline; NOT a reliable registration method (see above).
+      Round 4 attacked the diagnosed root cause (floor row-binning) with
+      ``cfg.soft_row_binning``: gradient magnitude recovers fully (median
+      |AD|/|secant| 0.035 -> 0.94) but sign agreement DROPS to 50% — the
+      un-suppressed d(image)/d(time) channel is dominated by speckle
+      decorrelation, so AD registration would need a speckle-invariant
+      differentiable objective, not a binning fix (measured:
+      scripts/pose_ad_lab.py; BASELINE.md "Negative results").
 
     ``render_fn(key, position, angles) -> bmode``. For ``method="fd"`` the
     ``target`` must be the K-frame compound rendered with the SAME ``keys``
