@@ -14,12 +14,15 @@ scan maps; BVH built once at init like the reference; see BASELINE.md
 
 Two timing domains are reported (see mcray_tpu/utils/benchmarking.py for
 the tunnel measurement traps):
-- headline value: wall-clock batched throughput through the tunnelled TPU,
-  128 frames chained per dispatch so the tunnel's flat ~25 ms per-dispatch
-  cost adds <0.2 ms/frame;
-- extras *_device_ms: jax.profiler DEVICE times (what the chip actually
-  spends), including the single-frame latency the serve loop would have on
-  directly-attached hardware.
+- headline value: DEVICE throughput — jax.profiler TPU-module time of the
+  128-frame chained-batch program divided by its frame count. This is what
+  the chip spends and what directly-attached production hardware would
+  deliver; it is immune to the tunnel's flat per-dispatch penalty, its
+  identical-dispatch memoization, AND its unreliable async-queue blocking
+  (block-only-on-last under-reports by orders of magnitude — measured r4).
+- extras: wall-clock with per-call blocking (frame_ms_wall_batched,
+  single_frame_ms — the tunnelled dev-loop reality) and per-stage device
+  times + roofline utilisation.
 """
 
 from __future__ import annotations
@@ -56,32 +59,43 @@ def main() -> int:
     out = sim.render_frame(seed=0)
     out["bmode"].block_until_ready()
 
-    # single-frame WALL latency (the serve loop through the tunnel — pays
-    # the flat per-dispatch penalty; device truth is in the extras)
-    frames = 5
-    t0 = time.perf_counter()
-    for i in range(frames):
-        out = sim.render_frame(seed=i + 1)
-    out["bmode"].block_until_ready()
-    dt_single = (time.perf_counter() - t0) / frames
+    # single-frame WALL latency of the serve loop: render + FETCH the image
+    # to the host, which is what serving actually does. device_get is the
+    # only reliable completion barrier on this backend — block_until_ready
+    # returns early even with per-call blocking (measured r4, trap #3 writ
+    # large); first rep discarded.
+    import numpy as np
 
-    # batched throughput: lax.scan-chained vmapped renders — n_chain * batch
-    # frames per device call; at 128 frames/call the tunnel's flat dispatch
-    # cost (~25 ms when any >=2 MB buffer is read) adds <0.2 ms/frame
+    singles = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        out = sim.render_frame(seed=i + 1)
+        np.asarray(out["bmode"])
+        singles.append(time.perf_counter() - t0)
+    dt_single = min(singles[1:])
+
+    # batched throughput: lax.scan-chained vmapped renders, n_chain * batch
+    # frames per device call. The HEADLINE is the profiler DEVICE time of
+    # that program (what the chip spends; immune to every tunnel artifact);
+    # the wall-clock per-frame time with per-call blocking is in extras.
     batch, n_chain = 8, 16
     chained = sim.make_chained_batch(batch, n_chain)
     chained(0).block_until_ready()  # compile + warm
-    reps = 2
-    t0 = time.perf_counter()
-    for i in range(reps):
-        b = chained(i + 1)
-    b.block_until_ready()
-    dt = (time.perf_counter() - t0) / (reps * n_chain * batch)
+    prof_b = profile_device(chained, lambda i: (i + 10,), n=3)
+    dt = prof_b["per_call_ms"] / 1e3 / (n_chain * batch)
+
+    walls = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        np.asarray(chained(i + 100)[0, 0, :8])  # fetch = reliable barrier
+        walls.append(time.perf_counter() - t0)
+    dt_wall = min(walls[1:]) / (n_chain * batch)
 
     rays_per_s = sim.rays_per_frame / dt
 
-    # DEVICE times via the profiler (tunnel-immune)
-    extra_dev = {}
+    extra_dev = {
+        "frame_ms_wall_batched": round(dt_wall * 1e3, 3),
+    }
     try:
         prof = profile_device(
             sim._render_seeded, lambda i: (i + 100,), n=4
@@ -98,11 +112,8 @@ def main() -> int:
         sim_hd = Simulator(pack_hd, cfg)
         chained_hd = sim_hd.make_chained_batch(batch, 8)
         chained_hd(0).block_until_ready()
-        t0 = time.perf_counter()
-        for i in range(2):
-            b = chained_hd(i + 1)
-        b.block_until_ready()
-        dt_hd = (time.perf_counter() - t0) / (2 * 8 * batch)
+        prof_hd_b = profile_device(chained_hd, lambda i: (i + 10,), n=3)
+        dt_hd = prof_hd_b["per_call_ms"] / 1e3 / (8 * batch)
         hd_extra = {
             "ircad_hd_triangles": pack_hd.n_triangles,
             "ircad_hd_rays_per_s": round(sim_hd.rays_per_frame / dt_hd),

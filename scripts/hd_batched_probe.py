@@ -6,6 +6,12 @@ reference. All timings use an in-jit lax.scan chain so tunnelled dispatch
 latency is amortised.
 
     python scripts/hd_batched_probe.py [--scene ...] [--batch 8]
+
+NOTE (r4): wall-clock chained timing predating the measurement-trap
+characterisation (mcray_tpu/utils/benchmarking.py) — numbers carry the
+tunnel's flat per-dispatch cost amortised over the chain. Prefer the
+profiler method for absolute claims; relative comparisons remain valid
+at fixed chain length.
 """
 
 from __future__ import annotations

@@ -6,6 +6,13 @@ scene's default kernel mode, then times full trace_paths with the winning
 width.
 
     python scripts/intersect_tile_sweep.py [--scene ...] [--widths 128,256,512]
+
+NOTE (r4): wall-clock chained timing predating the measurement-trap
+characterisation (mcray_tpu/utils/benchmarking.py) — numbers carry the
+tunnel's flat per-dispatch cost amortised over the chain. Prefer the
+profiler method (scripts/roofline.py, benchmarking.profile_device) for
+absolute claims; this sweep remains useful for RELATIVE comparisons at
+fixed chain length.
 """
 
 from __future__ import annotations

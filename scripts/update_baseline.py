@@ -69,11 +69,14 @@ def headline_md(b: dict) -> str:
     lines = [
         "| metric | value | source |",
         "|---|---|---|",
-        f"| sphere batched throughput | **{b['value']:,} ray-casts/s** "
-        f"({e['frames_per_s']:.1f} fps, {e['frame_ms']} ms/frame wall) | bench.py, "
-        f"{e['batch']}x{e['n_chain']} frames/dispatch |",
+        f"| sphere batched throughput (DEVICE) | **{b['value']:,} ray-casts/s** "
+        f"({e['frames_per_s']:.1f} fps, {e['frame_ms']} ms/frame device) | bench.py, "
+        f"profiler over {e['batch']}x{e['n_chain']} frames/dispatch |",
         f"| vs measured C++ baseline | **{b['vs_baseline']}x** | BASELINE.md C++ table |",
-        f"| sphere single-frame wall latency (tunnel) | {e['single_frame_ms']} ms | bench.py |",
+        f"| sphere batched wall (tunnelled dev box) | "
+        f"{e.get('frame_ms_wall_batched', '—')} ms/frame | bench.py |",
+        f"| sphere single-frame wall incl. image fetch (tunnel) | "
+        f"{e['single_frame_ms']} ms | bench.py |",
     ]
     if "single_frame_device_ms" in e:
         lines.append(
