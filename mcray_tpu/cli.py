@@ -80,6 +80,15 @@ def render_main(argv) -> int:
                    help="probe family (default: convex, the reference's)")
     p.add_argument("--envelope", default=None, choices=["reference", "hilbert"],
                    help="envelope detector (default: reference peak-lerp)")
+    p.add_argument("--intersect-mode", default=None,
+                   choices=["listed", "culled", "staged"],
+                   help="Pallas intersect kernel (default: listed — fastest "
+                        "at every size; staged caps at ~2000 clusters)")
+    p.add_argument("--intersect-tile-r", type=int, default=None,
+                   help="rays per intersect packet (default 512)")
+    p.add_argument("--texture", default=None, choices=["procedural", "table"],
+                   help="scatterer field backend (default: procedural; table "
+                        "materialises the reference's voxel-grid layout)")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -97,6 +106,8 @@ def render_main(argv) -> int:
         overrides["probe_type"] = args.probe
     if args.envelope:
         overrides["envelope_mode"] = args.envelope
+    if args.texture:
+        overrides["texture_mode"] = args.texture
     cfg = SimConfig(**overrides)
 
     t0 = time.perf_counter()
@@ -104,7 +115,11 @@ def render_main(argv) -> int:
     # default cluster-culled TPU kernel uses its depth-first order for
     # spatially coherent clusters.
     pack = load_and_compile(args.scene, cfg, with_bvh=True)
-    sim = Simulator(pack, cfg, use_bvh=args.bvh, seed=args.seed)
+    sim = Simulator(
+        pack, cfg, use_bvh=args.bvh, seed=args.seed,
+        intersect_mode=args.intersect_mode,
+        intersect_tile_r=args.intersect_tile_r,
+    )
     t_setup = time.perf_counter() - t0
     print(f"scene: {pack.n_triangles} triangles, {pack.n_materials} materials "
           f"(setup {t_setup:.2f}s)")
