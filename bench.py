@@ -137,7 +137,11 @@ def main() -> int:
     # roofline / utilisation accounting (BASELINE.md "Roofline" section)
     roof_extra = {}
     try:
-        sys.path.insert(0, "scripts")
+        import os
+
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
+        )
         from roofline import stage_table
 
         s = stage_table("assets/sphere/sphere.scene", reps=3)
