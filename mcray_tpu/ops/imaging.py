@@ -260,23 +260,48 @@ def envelope(rf: Array) -> Array:
     idx = jnp.arange(rows)[:, None] if rf.ndim == 2 else jnp.arange(rows)
     big = jnp.int32(rows + 1)
     idx_b = jnp.broadcast_to(idx, rf.shape)
+    absx = jnp.abs(x)
 
-    # next peak strictly after j: reverse cummin of peak indices, shifted by 1
-    peak_idx = jnp.where(peak, idx_b, big)
-    m = jax.lax.cummin(peak_idx, axis=0, reverse=True)  # min peak >= j
+    # Peak positions AND |values| travel together through associative scans
+    # (combine keeps the extremal key's payload) — XLA lowers the former
+    # per-column value gathers (x[pos]) at ~57 ns/element, which made this
+    # envelope the dominant cost of the fused-postproc BACKWARD pass
+    # (8.5 ms/frame, round 4); keys are row indices, hence unique, so the
+    # pair-combine is associative and deterministic.
+    def take_min(a, b):
+        ka, va = a
+        kb, vb = b
+        t = kb < ka
+        return jnp.where(t, kb, ka), jnp.where(t, vb, va)
+
+    def take_max(a, b):
+        ka, va = a
+        kb, vb = b
+        t = kb > ka
+        return jnp.where(t, kb, ka), jnp.where(t, vb, va)
+
+    # next peak strictly after j: reverse min-scan, shifted by 1
+    m, mv = jax.lax.associative_scan(
+        take_min,
+        (jnp.where(peak, idx_b, big), jnp.where(peak, absx, 0.0)),
+        axis=0,
+        reverse=True,
+    )
     npk = jnp.concatenate([m[1:], jnp.full_like(m[:1], big)], axis=0)
+    next_val = jnp.concatenate([mv[1:], jnp.zeros_like(mv[:1])], axis=0)
 
     # previous peak at or before j (or -1)
-    prev_idx = jnp.where(peak, idx_b, -1)
-    ppk = jax.lax.cummax(prev_idx, axis=0)
+    ppk, pv = jax.lax.associative_scan(
+        take_max,
+        (jnp.where(peak, idx_b, -1), jnp.where(peak, absx, 0.0)),
+        axis=0,
+    )
 
     prev_pos = jnp.maximum(ppk, 0)
-    take = jax.vmap(lambda col, pos: col[pos], in_axes=(1, 1), out_axes=1) if rf.ndim == 2 else (lambda col, pos: col[pos])
-    prev_val = jnp.where(ppk < 0, x[0], jnp.abs(take(x, prev_pos)))
+    prev_val = jnp.where(ppk < 0, x[0], pv)
 
     has_next = npk < big
     npk_pos = jnp.where(has_next, npk, 0)
-    next_val = jnp.abs(take(x, npk_pos))
 
     denom = jnp.maximum(npk_pos - prev_pos, 1)
     alpha = (idx_b - prev_pos).astype(rf.dtype) / denom.astype(rf.dtype)
