@@ -297,6 +297,35 @@ def test_listed_hier_prepass_matches_jnp(rng):
     )
 
 
+def test_assemble_lists_contract(rng):
+    """The listed kernel's loop correctness rests on _assemble_lists'
+    invariants: survivors occupy the first `counts` slots, their keys ascend
+    (the early-stop reads keys[it+1] as a lower bound for ALL later slots),
+    ids are a permutation of range(C), and non-survivor key slots are inert
+    (== NO_HIT_T >= any real key)."""
+    import jax.numpy as jnp
+
+    from mcray_tpu.ops.pallas.intersect import NO_HIT_T, _assemble_lists
+
+    P, C = 6, 37
+    any_hit = rng.random((P, C)) < 0.3
+    key = rng.random((P, C)).astype(np.float32)
+    counts, ids, keys = _assemble_lists(
+        jnp.asarray(any_hit), jnp.asarray(key)
+    )
+    counts, ids, keys = map(np.asarray, (counts, ids, keys))
+    for p in range(P):
+        n = counts[p, 0]
+        assert n == any_hit[p].sum()
+        assert sorted(ids[p].tolist()) == list(range(C))
+        surv = ids[p, :n]
+        assert any_hit[p, surv].all()
+        assert (np.diff(keys[p, :n]) >= 0).all()
+        np.testing.assert_allclose(keys[p, :n], np.sort(key[p, any_hit[p]]),
+                                   rtol=1e-6)
+        assert (keys[p, n:] == NO_HIT_T).all()
+
+
 def test_listed_intersect_no_hits_and_dead_rays(rng):
     """Empty per-packet lists (no survivors) and parked dead rays (zero
     segment at 1e9 — the bounce loop's dead-ray convention) return misses."""
