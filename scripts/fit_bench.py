@@ -99,16 +99,34 @@ def main() -> int:
         jax.block_until_ready(fitter.state.materials)
         dt = (time.perf_counter() - t0) / args.steps
         results[name] = {
-            "ms_per_step": round(dt * 1e3, 2),
+            "ms_per_step_wall": round(dt * 1e3, 2),
             "compile_s": round(t_compile, 1),
             "loss_last": float(losses[-1]),
         }
-        print(f"{name}: {dt*1e3:.1f} ms/step (compile {t_compile:.1f}s)",
-              flush=True)
+        # DEVICE time per step (tunnel-immune; the wall number above carries
+        # the dev tunnel's flat ~25 ms per dispatch — benchmarking.py traps)
+        try:
+            from mcray_tpu.utils.benchmarking import profile_device
+
+            mats_now = fitter.state.materials
+            opt_now = fitter.state.opt_state
+            prof = profile_device(
+                lambda m, k: fitter._step(m, opt_now, k)[2],
+                lambda i: (mats_now * (1 + i * 1e-9),
+                           jax.random.fold_in(key, i + 100)),
+                n=3,
+            )
+            results[name]["ms_per_step_device"] = round(prof["per_call_ms"], 2)
+        except Exception as e:
+            results[name]["ms_per_step_device_error"] = str(e)[:120]
+        print(f"{name}: {dt*1e3:.1f} ms/step wall, "
+              f"{results[name].get('ms_per_step_device', 'n/a')} ms device "
+              f"(compile {t_compile:.1f}s)", flush=True)
 
     if len(results) == 2:
         results["speedup"] = round(
-            results["jnp"]["ms_per_step"] / results["pallas"]["ms_per_step"], 2
+            results["jnp"]["ms_per_step_wall"]
+            / results["pallas"]["ms_per_step_wall"], 2
         )
     print(json.dumps(results))
     return 0
