@@ -30,6 +30,7 @@ ART = {
     "bench": "/tmp/bench_auto.json",
     "stress": "/tmp/stress_auto.json",
     "roofline": "/tmp/roofline_auto.json",
+    "roofline_hd": "/tmp/roofline_hd_auto.json",
 }
 
 
@@ -61,6 +62,17 @@ def run_roofline() -> dict:
         cwd=ROOT, timeout=3600, check=True,
     )
     with open(ART["roofline"]) as f:
+        return json.load(f)
+
+
+def run_roofline_hd() -> dict:
+    subprocess.run(
+        [sys.executable, "scripts/roofline.py", "--scene",
+         "assets/ircad11_hd/santi-liver-hd.scene",
+         "--json-out", ART["roofline_hd"]],
+        cwd=ROOT, timeout=3600, check=True,
+    )
+    with open(ART["roofline_hd"]) as f:
         return json.load(f)
 
 
@@ -160,6 +172,7 @@ def main() -> int:
             data["stress"] = run_stress()
         if "roofline" not in args.skip:
             data["roofline"] = run_roofline()
+            data["roofline_hd"] = run_roofline_hd()
 
     path = os.path.join(ROOT, "BASELINE.md")
     with open(path) as f:
@@ -167,7 +180,10 @@ def main() -> int:
     if "bench" in data:
         md = patch(md, "headline", headline_md(data["bench"]))
     if "roofline" in data:
-        md = patch(md, "roofline", roofline_md(data["roofline"]))
+        body = roofline_md(data["roofline"])
+        if "roofline_hd" in data:
+            body += "\n\n" + roofline_md(data["roofline_hd"])
+        md = patch(md, "roofline", body)
     if "stress" in data:
         md = patch(md, "stress", stress_md(data["stress"]))
     with open(path, "w") as f:
