@@ -92,9 +92,19 @@ def main() -> int:
     dt_wall = min(walls[1:]) / (n_chain * batch)
 
     rays_per_s = sim.rays_per_frame / dt
+    rays_per_s_wall = sim.rays_per_frame / dt_wall
 
     extra_dev = {
         "frame_ms_wall_batched": round(dt_wall * 1e3, 3),
+        # Methodology disclosure (advisor r4): the headline divides TPU
+        # DEVICE time while CPP_BASELINE is host WALL-clock of the C++
+        # reference algorithm — device-vs-wall. The wall-vs-wall ratio
+        # (tunnelled dispatch overhead included on our side) is kept
+        # alongside for round-over-round comparability.
+        "headline_basis": "TPU device time vs C++ host wall-clock",
+        "vs_baseline_wall_vs_wall": round(
+            rays_per_s_wall / CPP_BASELINE_RAYS_PER_S, 2
+        ),
     }
     try:
         prof = profile_device(

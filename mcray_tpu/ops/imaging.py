@@ -67,7 +67,12 @@ def accumulate_echoes_soft(
     """Differentiable two-row relaxation of add_echo (cfg.soft_row_binning):
     each echo lands in rows floor(t/rdt) and floor(t/rdt)+1 with linear
     weights, so d(RF)/d(time) is the finite row-difference instead of zero.
-    Total deposited energy equals the hard binning's (weights sum to 1)."""
+    Total deposited energy equals the hard binning's (weights sum to 1)
+    EXCEPT at the window's last row: an echo whose r0 == rf_rows-1 has its
+    r0+1 share (up to ``frac`` of its value) fall outside the image and be
+    dropped, so energy parity with hard binning only holds with >=1 row of
+    margin. Kept as-is (clamping r0+1 would double-deposit into the last
+    row and bias the boundary); parity comparisons must keep that margin."""
     rf_row = times_us / cfg.rf_row_dt_us
     r0f = jnp.floor(rf_row)
     frac = rf_row - jax.lax.stop_gradient(r0f)  # gradient rides frac only

@@ -316,6 +316,13 @@ def _march_bwd_kernel(counts_ref, ids_ref, seeds_ref, seg_ref, g_ref, gout_ref,
     i = pl.program_id(0)
     j = pl.program_id(1)
 
+    # CORRECTNESS CONSTRAINT (advisor r4): gout's block index maps only on i,
+    # so the j (row-tile) axis revisits the same output block and must run
+    # SEQUENTIALLY with j==0 first — the zero-init below has to precede every
+    # accumulation from j>0. Default TPU grid semantics (all axes 'arbitrary',
+    # executed in order) guarantee this; do NOT add a dimension_semantics
+    # annotation marking j 'parallel' or reorder the grid axes without moving
+    # the init.
     @pl.when(j == 0)
     def _():
         gout_ref[:] = jnp.zeros_like(gout_ref)

@@ -41,8 +41,13 @@ def take_rows(table: Array, ids: Array) -> Array:
     (N, M) one-hot times (M, ...) table is VPU work at microseconds. Exact:
     each output row sums one 1.0*value against zeros (precision=HIGHEST
     keeps the multiply f32), and the transpose (scatter-add) matches the
-    gather's VJP, so material gradients are unchanged bit-for-bit."""
+    gather's VJP, so material gradients are unchanged bit-for-bit.
+
+    Ids are clamped to [0, M-1] to preserve jnp-gather clamping semantics:
+    a raw one-hot would map out-of-range ids to an all-zero row (returning
+    0.0) where ``table[ids]`` clamps to the edge row."""
     m = table.shape[0]
+    ids = jnp.clip(ids, 0, m - 1)
     oh = jax.nn.one_hot(ids.reshape(-1), m, dtype=table.dtype)
     flat = table.reshape(m, -1)
     out = jax.lax.dot_general(

@@ -45,6 +45,10 @@ class StageCost:
     flops: float          # executed FLOPs per frame (documented model)
     hbm_bytes: float      # HBM traffic per frame (reads + writes)
     unit: str             # "vpu" (f32 elementwise) or "mxu" (bf16 matmul)
+    useful_flops: float | None = None  # problem-inherent FLOPs (formulation-
+    # independent lower bound); when << flops the stage is at a FORMULATION
+    # ceiling, not a problem ceiling — e.g. one-hot-matmul scan conversion
+    # executes ~107 GFLOP for ~3 MFLOP of useful 4-tap bilinear work.
 
     def summarize(self, seconds: float) -> dict:
         peak = V5E_MXU_BF16_FLOPS if self.unit == "mxu" else V5E_VPU_F32_FLOPS
@@ -65,11 +69,30 @@ class StageCost:
             "bound": "compute" if t_compute >= t_mem else "bandwidth",
             "unit": self.unit,
             "roofline_ms": round(max(t_compute, t_mem) * 1e3, 4),
+            **(
+                {
+                    "useful_gflops": round(self.useful_flops / 1e9, 4),
+                    "formulation_overhead_x": round(
+                        self.flops / max(self.useful_flops, 1.0), 1
+                    ),
+                }
+                if self.useful_flops is not None
+                else {}
+            ),
         }
 
 
+# frustum interval test per (packet, box): 3 axes x (8 corner products x
+# (1 mul + 2 min/max) + 2 accumulate) ~= 78, + list assembly compares (~3)
+FRUSTUM_FLOPS = 81
+# per-(packet, ray) interval setup for the frustum: inv dir (3) + 4
+# componentwise min/max reductions over 3 axes (~12) + live mask (~4)
+FRUSTUM_SETUP_FLOPS = 19
+
+
 def intersect_cost(cfg, n_bounces_counts, tile_r: int, tile_t: int,
-                   n_rays: int, n_clusters: int, mode: str) -> StageCost:
+                   n_rays: int, n_clusters: int, mode: str,
+                   list_method: str = "exact", n_supers: int = 0) -> StageCost:
     """Per-frame intersect kernel work.
 
     ``n_bounces_counts``: list over bounce depth of (visited_clusters_total,
@@ -79,17 +102,30 @@ def intersect_cost(cfg, n_bounces_counts, tile_r: int, tile_t: int,
     kernel: tiles whose packet slab test passes).
 
     FLOPs = per visited (packet, cluster) tile: tile_r x tile_t MT pairs +
-    tile_r slab re-check. Prepass: exact (P,R,C) slab per bounce.
+    tile_r slab re-check, plus the prepass that was ACTUALLY run
+    (``list_method``, advisor r4): "exact" is a dense (P, R, C) per-ray
+    slab; "frustum" is (P, C) interval tests + a (P, R) setup reduction;
+    "hier" is an exact (P, R, S) super-level slab plus the cluster frustum.
     HBM bytes = one 16 x tile_t f32 DMA per visited tile (listed/staged;
     the culled kernel streams every tile: counted via visited = all)."""
     packets = n_rays // tile_r
+    if list_method == "exact":
+        prepass = packets * tile_r * n_clusters * SLAB_FLOPS
+    elif list_method == "frustum":
+        prepass = (packets * n_clusters * FRUSTUM_FLOPS
+                   + packets * tile_r * FRUSTUM_SETUP_FLOPS)
+    elif list_method == "hier":
+        prepass = (packets * tile_r * max(n_supers, 1) * SLAB_FLOPS
+                   + packets * n_clusters * FRUSTUM_FLOPS
+                   + packets * tile_r * FRUSTUM_SETUP_FLOPS)
+    else:  # brute kernel: no prepass at all
+        prepass = 0.0
     flops = 0.0
     bytes_ = 0.0
     for visited, _live in n_bounces_counts:
         flops += visited * (tile_r * tile_t * MT_FLOPS + tile_r * SLAB_FLOPS)
         bytes_ += visited * 16 * tile_t * 4
-        # prepass (exact two-level for "hier": supers per ray + cluster frustum)
-        flops += packets * tile_r * n_clusters * SLAB_FLOPS
+        flops += prepass
         bytes_ += packets * n_clusters * 4 * 3  # lists: counts/ids/keys
     return StageCost("intersect", flops, bytes_, "vpu")
 
@@ -136,4 +172,8 @@ def scanconv_cost(cfg, band_r: int | None = None) -> StageCost:
         + cfg.bmode_rows * 8 * w_pad * 4       # interpolation table
         + cfg.bmode_rows * cfg.bmode_cols * 4  # output
     )
-    return StageCost("scan_convert", flops, bytes_, "mxu")
+    # Problem-inherent work: each output pixel is a 4-tap bilinear lookup
+    # (4 MACs = 8 FLOPs). Everything above that is formulation cost paid to
+    # ride the MXU instead of serialised gathers.
+    useful = 8.0 * cfg.bmode_rows * cfg.bmode_cols
+    return StageCost("scan_convert", flops, bytes_, "mxu", useful_flops=useful)

@@ -149,10 +149,15 @@ def stage_table(scene_path: str, inner: int = 16, reps: int = 4) -> dict:
     counts_m, _ = jax.jit(lambda s: _touch_tables(s, cfg, n_rows_fwd))(soa)
     touched = int(jnp.sum(counts_m))
 
+    # the production trace path runs the exact (P,R,C) prepass
+    # (trace_paths passes no list_method); brute has none (advisor r4)
+    n_supers = packed.aabb_super.shape[0] if packed is not None else 0
     costs = {
         "intersect": R.intersect_cost(
             cfg, bounce_counts, tile_r, tile_t, n + (-n) % tile_r,
-            n_clusters, mode or "brute"),
+            n_clusters, mode or "brute",
+            list_method="exact" if packed is not None else "brute",
+            n_supers=n_supers),
         "march": R.march_cost(
             cfg, touched, TILE_ROWS, TILE_C, int(np.prod(soa.shape)) * 4,
             cfg.rf_cols),
