@@ -69,6 +69,7 @@ def trace_paths(
     use_pallas_intersect: bool = False,
     culled_tris=None,
     intersect_tile_r: int = 128,
+    intersect_interpret: bool = False,
     sort_packets: bool = False,
     elements: tuple[Array, Array, Array, Array] | None = None,
 ) -> dict[str, Array]:
@@ -157,7 +158,9 @@ def trace_paths(
                 "staged": I.intersect_closest_staged,
                 "listed": I.intersect_closest_listed,
             }[mode]
-            fn = functools.partial(fn, tile_r=intersect_tile_r)
+            fn = functools.partial(
+                fn, tile_r=intersect_tile_r, interpret=intersect_interpret
+            )
             if sort_packets:
                 # coherence-sort rays into tight packets (opt-in: element
                 # order is already coherent for traced rays, and the argsort
