@@ -81,11 +81,18 @@ def render_main(argv) -> int:
     p.add_argument("--envelope", default=None, choices=["reference", "hilbert"],
                    help="envelope detector (default: reference peak-lerp)")
     p.add_argument("--intersect-mode", default=None,
-                   choices=["listed", "culled", "staged"],
+                   choices=["listed", "culled", "staged", "grouped"],
                    help="Pallas intersect kernel (default: listed — fastest "
-                        "at every size; staged caps at ~2000 clusters)")
+                        "on coherent rays at every size; grouped = "
+                        "cluster-major, 2.7x faster on incoherent bounce "
+                        "sets at 200k+ tris; staged caps at ~2000 clusters)")
     p.add_argument("--intersect-tile-r", type=int, default=None,
                    help="rays per intersect packet (default 512)")
+    p.add_argument("--scatter-rng", default=None, choices=["boxmuller", "bitsum"],
+                   help="per-voxel N(0,1) generator (default: boxmuller; "
+                   "bitsum = transcendental-free dithered-binomial, "
+                   "a different but statistically equivalent speckle "
+                   "realisation — see config.scatter_rng)")
     p.add_argument("--texture", default=None, choices=["procedural", "table"],
                    help="scatterer field backend (default: procedural; table "
                         "materialises the reference's voxel-grid layout)")
@@ -108,6 +115,8 @@ def render_main(argv) -> int:
         overrides["envelope_mode"] = args.envelope
     if args.texture:
         overrides["texture_mode"] = args.texture
+    if args.scatter_rng:
+        overrides["scatter_rng"] = args.scatter_rng
     cfg = SimConfig(**overrides)
 
     t0 = time.perf_counter()

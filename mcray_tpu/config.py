@@ -64,6 +64,21 @@ class SimConfig:
     # zero HBM traffic, the TPU-native default) or "table" (materialised
     # voxel grid mirroring the reference's volume<256,145>).
     texture_mode: str = "procedural"
+    # Per-voxel N(0,1) generator for the procedural field (and hence the
+    # march kernel's dominant per-sample cost):
+    # - "bitsum" (default): dithered-binomial from the same hash words —
+    #   popcount of 16 hash bits + a 16-bit uniform dither, zero
+    #   transcendentals. Exact mean/variance, symmetric, excess kurtosis
+    #   -0.12, support ±4.2σ; CDF within ~7e-3 of Φ (distributional
+    #   validation in tests/test_texture.py; B-mode statistics and measured
+    #   march speedups — 1.3-1.4× nearest, 2.3× trilinear+soft — in
+    #   BASELINE.md). The reference's own field is an implementation-defined
+    #   engine matched statistically, not bitwise (src/volume.h:19-35,
+    #   SURVEY.md §4), so this stays within the declared parity contract.
+    # - "boxmuller": log+sqrt+cos+sin per voxel pair — exact normals; the
+    #   r4 march kernel ran at ~15% of VPU peak on exactly these four ops.
+    # Changing this changes the realised speckle bit-stream (like reseeding).
+    scatter_rng: str = "bitsum"
 
     # --- PSF parameters (src/main.cpp:54) ---
     psf_var_x: float = 0.05

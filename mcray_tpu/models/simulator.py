@@ -157,10 +157,21 @@ def trace_paths(
                 "culled": I.intersect_closest_culled,
                 "staged": I.intersect_closest_staged,
                 "listed": I.intersect_closest_listed,
+                # cluster-major kernel for incoherent (bounce) rays — see
+                # intersect_closest_grouped; coherent subsets overflow to
+                # its residual listed pass, so it is safe at every depth
+                "grouped": I.intersect_closest_grouped,
             }[mode]
-            fn = functools.partial(
-                fn, tile_r=intersect_tile_r, interpret=intersect_interpret
-            )
+            if mode == "grouped":
+                fn = functools.partial(
+                    fn,
+                    residual_tile_r=intersect_tile_r,
+                    interpret=intersect_interpret,
+                )
+            else:
+                fn = functools.partial(
+                    fn, tile_r=intersect_tile_r, interpret=intersect_interpret
+                )
             if sort_packets:
                 # coherence-sort rays into tight packets (opt-in: element
                 # order is already coherent for traced rays, and the argsort
@@ -469,7 +480,7 @@ class Simulator:
             # (staged caps at ~2000 clusters: whole AABB tables in SMEM).
             if intersect_mode is None:
                 intersect_mode = "listed"
-            if intersect_mode not in ("culled", "staged", "listed"):
+            if intersect_mode not in ("culled", "staged", "listed", "grouped"):
                 raise ValueError(f"unknown intersect_mode {intersect_mode!r}")
             packed = pack_tris_culled(
                 pack.tris,
@@ -479,7 +490,7 @@ class Simulator:
                 # narrower clusters = tighter AABBs for the listed kernel;
                 # measured 10.6 -> 8.2 ms on 200k-tri incoherent rays
                 # (scripts/stress_bench.py). culled/staged require 256.
-                tile_t=128 if intersect_mode == "listed" else 256,
+                tile_t=128 if intersect_mode in ("listed", "grouped") else 256,
             )
             self.culled_tris = (packed, intersect_mode)
             self.use_bvh = False

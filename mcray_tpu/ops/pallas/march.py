@@ -66,12 +66,28 @@ def _hash_i32(x):
     return x
 
 
-def _voxel_fields(ix, iy, iz, seed0, seed1, size):
+def _bitsum_normal_i32(bits):
+    """Dithered-binomial ~N(0,1) on int32 hash words — bit-identical to
+    texture._bitsum_normal (popcount of the high 16 bits + 16-bit uniform
+    dither; zero transcendentals). See cfg.scatter_rng."""
+    from ..texture import BITSUM_SCALE
+
+    pc = jax.lax.population_count(
+        jax.lax.shift_right_logical(bits, 16)
+    ).astype(jnp.float32)
+    u = ((bits & jnp.int32(0xFFFF)).astype(jnp.float32) + 0.5) * (1.0 / 65536.0)
+    return (pc + u - 8.5) * jnp.float32(BITSUM_SCALE)
+
+
+def _voxel_fields(ix, iy, iz, seed0, seed1, size, rng: str = "boxmuller"):
     """(noise, prob) ~ iid N(0,1) for integer voxel indices — the in-kernel
-    twin of texture.procedural_fields (hash + Box-Muller, bit-identical)."""
+    twin of texture.procedural_fields (bit-identical for both scatter_rng
+    modes: hash + Box-Muller, or hash + dithered-binomial bit-sum)."""
     vid = (ix * size + iy) * size + iz
     b1 = _hash_i32(vid ^ seed0)
     b2 = _hash_i32(vid ^ seed1)
+    if rng == "bitsum":
+        return _bitsum_normal_i32(b1), _bitsum_normal_i32(b2)
     u1 = (jax.lax.shift_right_logical(b1, 8).astype(jnp.float32) + 0.5) * (
         1.0 / 16777216.0
     )
@@ -117,7 +133,7 @@ def _scat_eval(px, py, pz, mu0, mu1, sigma, seed0, seed1, cfg: SimConfig,
 
                     n_t, p_t = _voxel_fields(
                         wrap(i0x, ox), wrap(i0y, oy), wrap(i0z, oz),
-                        seed0, seed1, size,
+                        seed0, seed1, size, rng=cfg.scatter_rng,
                     )
                     wfx = wx if ox else 1.0 - wx
                     wfy = wy if oy else 1.0 - wy
@@ -140,7 +156,8 @@ def _scat_eval(px, py, pz, mu0, mu1, sigma, seed0, seed1, cfg: SimConfig,
             return jnp.mod(jnp.mod(q, size) + size, size)
 
         noise, prob = _voxel_fields(
-            wrap(px), wrap(py), wrap(pz), seed0, seed1, size
+            wrap(px), wrap(py), wrap(pz), seed0, seed1, size,
+            rng=cfg.scatter_rng,
         )
 
     value = noise * sigma + mu0

@@ -62,7 +62,7 @@ def make_texture_volume(key: Array, cfg: SimConfig) -> dict[str, Array]:
         jnp.arange(s, dtype=jnp.int32),
         indexing="ij",
     )
-    noise, prob = procedural_fields(ix, iy, iz, seeds, s)
+    noise, prob = procedural_fields(ix, iy, iz, seeds, s, rng=cfg.scatter_rng)
     return {"noise": noise, "prob": prob, "seeds": seeds}
 
 
@@ -78,12 +78,35 @@ def hash_u32(x: Array) -> Array:
     return x
 
 
-def procedural_fields(ix: Array, iy: Array, iz: Array, seeds: Array, size: int):
-    """(noise, prob) ~ iid N(0,1) per (wrapped) voxel via hash + Box-Muller."""
+# dithered-binomial normaliser: z = (popcount(hi16) + U(0,1) - 8.5) / sqrt(
+# Var[Binomial(16, 1/2)] + Var[U]) = (pc + u - 8.5) / sqrt(4 + 1/12).
+# float32 literal so jnp and the Pallas kernel use the identical constant.
+BITSUM_SCALE = float(jnp.float32(1.0 / (4.0 + 1.0 / 12.0) ** 0.5))
+
+
+def _bitsum_normal(bits: Array) -> Array:
+    """~N(0,1) from ONE 32-bit hash word, no transcendentals: popcount of
+    the high 16 bits (Binomial(16, 1/2)) plus a (0,1) uniform dither from
+    the low 16 bits. Exact mean/variance, symmetric, excess kurtosis -0.12,
+    support ±4.2σ, CDF within ~7e-3 of Φ — the "cheaper-polynomial N(0,1)"
+    of VERDICT r4 item 3, TPU-native (pure VPU int ops, full lane width)."""
+    pc = jax.lax.population_count(bits >> 16).astype(jnp.float32)
+    u = ((bits & jnp.uint32(0xFFFF)).astype(jnp.float32) + 0.5) * (1.0 / 65536.0)
+    return (pc + u - 8.5) * jnp.float32(BITSUM_SCALE)
+
+
+def procedural_fields(ix: Array, iy: Array, iz: Array, seeds: Array, size: int,
+                      rng: str = "boxmuller"):
+    """(noise, prob) ~ iid N(0,1) per (wrapped) voxel from an integer hash.
+
+    ``rng``: "boxmuller" (exact normals; log+sqrt+cos+sin) or "bitsum"
+    (dithered binomial; transcendental-free — see cfg.scatter_rng)."""
     vid = ((ix.astype(jnp.uint32) * size + iy.astype(jnp.uint32)) * size
            + iz.astype(jnp.uint32))
     b1 = hash_u32(vid ^ seeds[0])
     b2 = hash_u32(vid ^ seeds[1])
+    if rng == "bitsum":
+        return _bitsum_normal(b1), _bitsum_normal(b2)
     # (bits + 0.5) / 2^24 in (0, 1): log is always finite
     u1 = ((b1 >> 8).astype(jnp.float32) + 0.5) * (1.0 / 16777216.0)
     u2 = ((b2 >> 8).astype(jnp.float32) + 0.5) * (1.0 / 16777216.0)
@@ -116,7 +139,9 @@ def get_scattering(
             return volume["noise"][ix, iy, iz], volume["prob"][ix, iy, iz]
     else:
         def fetch(ix, iy, iz):
-            return procedural_fields(ix, iy, iz, volume["seeds"], size)
+            return procedural_fields(
+                ix, iy, iz, volume["seeds"], size, rng=cfg.scatter_rng
+            )
 
     if cfg.trilinear_texture:
         f = points / res - 0.5

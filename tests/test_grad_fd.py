@@ -49,29 +49,69 @@ def _loss_fn(sim, key):
 
 
 @pytest.mark.parametrize(
-    "row,col,eps",
+    "row,col",
     [
-        (3, physics.ATTENUATION, 1e-3),  # LIVER attenuation: smooth Beer-Lambert
-        (3, physics.MU0, 1e-3),          # LIVER scattering mean: linear
-        (3, physics.SIGMA, 1e-3),        # LIVER scattering std: linear
+        (3, physics.ATTENUATION),  # LIVER attenuation: smooth Beer-Lambert
+        (3, physics.MU0),          # LIVER scattering mean: linear
+        (3, physics.SIGMA),        # LIVER scattering std: linear
     ],
 )
-def test_ad_matches_fd_smooth_params(sim, row, col, eps):
+def test_ad_matches_fd_smooth_params(sim, row, col):
+    """Two-layer check (r5 rework — the old single-(key, eps) secant was
+    realisation-tuned: the envelope's discrete peak choices make any ONE
+    small secant unreliable; measured FD of the same loss swung 2.8 -> 6.1
+    between eps=3e-4 and 1e-3 while AD matched the converged large-eps
+    secant to 1%):
+    1. pre-envelope loss (rf_conv): everything up to the PSF conv is smooth
+       in these params -> AD == FD tightly at every eps;
+    2. full-pipeline loss (bmode): a loose sanity BRACKET only (sign + a
+       3x factor at eps=1e-2). Measured across keys and eps, bmode-level
+       secants swing by >2x at every probe size (small eps: f32 loss noise
+       amplified by 1/eps; large eps: envelope peak-index and path-survival
+       flips — e.g. fd=22.7 vs ad=3.7 at eps=3e-2), so a tight bmode-level
+       FD assertion would be realisation lottery, not validation. The
+       envelope/scanconv VJPs themselves are unit-validated against jnp AD
+       in tests/test_grad_pallas.py, which closes the remaining link."""
     key = jax.random.PRNGKey(7)
-    loss = _loss_fn(sim, key)
     theta0 = float(sim.materials[row, col])
 
-    g_ad = float(jax.grad(loss)(jnp.float32(theta0), row, col))
-    # central difference in float32-land: use a larger probe + float64 host math
-    lp = float(loss(jnp.float32(theta0 + eps), row, col))
-    lm = float(loss(jnp.float32(theta0 - eps), row, col))
-    g_fd = (lp - lm) / (2 * eps)
+    def loss_of(which):
+        @jax.jit
+        def loss(theta):
+            m = sim.materials.at[row, col].set(theta)
+            out = sim._render_impl(
+                key, m,
+                jnp.asarray(sim.pack.transducer_position),
+                jnp.asarray(sim.pack.transducer_angles),
+                sim._state,
+            )
+            return jnp.sum(out[which] ** 2)
 
-    assert np.isfinite(g_ad) and np.isfinite(g_fd)
-    # mu0/sigma enter (locally) linearly -> tight agreement; attenuation is
-    # smooth but compounded -> slightly looser
-    assert g_fd != 0.0
-    np.testing.assert_allclose(g_ad, g_fd, rtol=0.15, err_msg=f"row {row} col {col}")
+        return loss
+
+    loss_s = loss_of("rf_conv")
+    eps = 1e-3
+    g_ad = float(jax.grad(loss_s)(jnp.float32(theta0)))
+    g_fd = (
+        float(loss_s(jnp.float32(theta0 + eps)))
+        - float(loss_s(jnp.float32(theta0 - eps)))
+    ) / (2 * eps)
+    assert np.isfinite(g_ad) and g_fd != 0.0
+    np.testing.assert_allclose(
+        g_ad, g_fd, rtol=0.02, err_msg=f"pre-envelope row {row} col {col}"
+    )
+
+    loss_f = loss_of("bmode")
+    eps = 1e-2
+    g_ad = float(jax.grad(loss_f)(jnp.float32(theta0)))
+    g_fd = (
+        float(loss_f(jnp.float32(theta0 + eps)))
+        - float(loss_f(jnp.float32(theta0 - eps)))
+    ) / (2 * eps)
+    assert np.isfinite(g_ad) and g_fd != 0.0
+    assert np.sign(g_ad) == np.sign(g_fd), f"sign row {row} col {col}"
+    ratio = g_ad / g_fd
+    assert 1.0 / 3.0 < ratio < 3.0, f"bracket row {row} col {col}: {ratio}"
 
 
 def test_ad_matches_fd_probe_position(sim):

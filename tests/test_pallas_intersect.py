@@ -160,6 +160,54 @@ def test_listed_intersect_matches_jnp(rng):
         )
 
 
+def test_grouped_intersect_matches_jnp(rng):
+    """Cluster-major grouped kernel (VERDICT r4 item 1 — per-ray-grade
+    pruning for incoherent rays): must be exact vs the jnp brute force on
+    isotropic rays, on coherent fans (which overflow every per-cluster ray
+    budget and exercise the residual listed pass), and with dead rays."""
+    from mcray_tpu.ops.bvh import build_bvh
+    from mcray_tpu.ops.pallas.intersect import (
+        intersect_closest_grouped,
+        pack_tris_culled,
+    )
+
+    tris, mid = _random_scene(rng, 900)
+    bvh = build_bvh(np.asarray(tris))
+    packed = pack_tris_culled(
+        np.asarray(tris), np.asarray(mid), bvh.tri_order, tile_t=128
+    )
+    n = 300
+    # isotropic bounce-style rays + some parked dead rays
+    o = jnp.asarray(rng.uniform(-8, 8, (n, 3)), jnp.float32)
+    seg = jnp.asarray(rng.standard_normal((n, 3)) * 9, jnp.float32)
+    dead = rng.uniform(size=n) < 0.2
+    seg = jnp.where(jnp.asarray(dead)[:, None], 0.0, seg)
+    o = jnp.where(jnp.asarray(dead)[:, None], 1e9, o)
+    # coherent fan: every ray from one apex -> massive per-cluster overflow
+    o_fan = jnp.broadcast_to(jnp.asarray([-9.0, 0.0, 0.0]), (n, 3))
+    th = np.linspace(-0.4, 0.4, n)
+    seg_fan = jnp.asarray(
+        np.stack([np.cos(th) * 20, np.sin(th) * 20, np.zeros(n)], -1),
+        jnp.float32,
+    )
+    for oo, ss, label in ((o, seg, "bounce+dead"), (o_fan, seg_fan, "fan")):
+        a = intersect_closest(oo, ss, tris, mid)
+        for kw in ({"group_g": 32, "chunk_g": 4}, {"group_g": 8, "chunk_g": 1}):
+            b = intersect_closest_grouped(oo, ss, packed, interpret=True, **kw)
+            np.testing.assert_array_equal(
+                np.asarray(a["hit"]), np.asarray(b["hit"]), err_msg=label
+            )
+            np.testing.assert_allclose(
+                np.asarray(a["t"]), np.asarray(b["t"]), rtol=1e-5, atol=1e-7,
+                err_msg=label,
+            )
+            hit = np.asarray(a["hit"])
+            np.testing.assert_array_equal(
+                np.asarray(a["mesh_id"])[hit], np.asarray(b["mesh_id"])[hit],
+                err_msg=label,
+            )
+
+
 def test_listed_two_pass_matches_jnp(rng):
     """passes=2 (front clusters, then per-ray-capped second prepass) must be
     exact: a cluster whose slab entry is past a ray's pass-1 best t cannot

@@ -42,6 +42,24 @@ def test_pallas_march_matches_jnp(setup):
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("soft", [False, True])
+def test_pallas_march_bitsum_matches_jnp(setup, soft):
+    """scatter_rng='bitsum' (transcendental-free dithered-binomial field):
+    kernel and jnp paths must still agree — the in-kernel generator is the
+    bit-identical twin of texture._bitsum_normal."""
+    _, mats, segs, _ = setup
+    cfg_b = small_test_config(
+        transducer_elements=32, samples_per_element=2, scatter_rng="bitsum",
+        soft_scattering=soft, trilinear_texture=soft,
+    )
+    vol_b = texture.make_texture_volume(jax.random.PRNGKey(1), cfg_b)
+    ref = np.asarray(march_and_accumulate(segs, mats, vol_b, cfg_b))
+    out = np.asarray(
+        march_and_accumulate_pallas(segs, mats, vol_b, cfg_b, interpret=True)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
 def test_pallas_march_rejects_seedless_table(setup):
     """Externally supplied raw tables (no seeds) cannot use the kernel."""
     cfg, mats, segs, _ = setup

@@ -74,6 +74,52 @@ def test_procedural_field_distribution():
     assert abs(np.corrcoef(a, b)[0, 1]) < 0.01
 
 
+def test_bitsum_field_distribution():
+    """scatter_rng="bitsum" (dithered-binomial, zero transcendentals) must
+    be statistically N(0,1): exact first two moments, no skew, the designed
+    ~-0.12 excess kurtosis, CDF within ~7e-3 of Phi, independent fields."""
+    import math
+
+    from mcray_tpu.ops.texture import procedural_fields
+
+    n = 200_000
+    idx = np.arange(n, dtype=np.int64)
+    ix = jnp.asarray(idx % 256, jnp.int32)
+    iy = jnp.asarray((idx // 256) % 256, jnp.int32)
+    iz = jnp.asarray(idx // 65536, jnp.int32)
+    seeds = jnp.array([1234, 5678], jnp.uint32)
+    noise, prob = procedural_fields(ix, iy, iz, seeds, 256, rng="bitsum")
+    for field in (np.asarray(noise), np.asarray(prob)):
+        assert abs(field.mean()) < 0.01
+        assert abs(field.std() - 1.0) < 0.01
+        assert abs(np.mean(field**3)) < 0.05               # skewness
+        assert abs(np.mean(field**4) - 3.0) < 0.2          # kurtosis 2.88
+        # empirical CDF vs Phi at the thresholds scene densities live at
+        for z in (-2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0):
+            phi = 0.5 * (1.0 + math.erf(z / math.sqrt(2.0)))
+            emp = float(np.mean(field <= z))
+            assert abs(emp - phi) < 8e-3, (z, emp, phi)
+    a, b = np.asarray(noise), np.asarray(prob)
+    assert abs(np.corrcoef(a, b)[0, 1]) < 0.01
+
+
+def test_bitsum_table_bit_identical_to_procedural():
+    # the table/procedural bit-identity invariant holds in bitsum mode too
+    cfg_t = small_test_config(texture_mode="table", scatter_rng="bitsum")
+    cfg_p = small_test_config(scatter_rng="bitsum")
+    vol_t = _vol(cfg_t, seed=3)
+    vol_p = _vol(cfg_p, seed=3)
+    pts = jnp.asarray(
+        np.random.default_rng(1).uniform(-20, 20, (500, 3)), jnp.float32
+    )
+    dens = jnp.full((500,), 0.3)
+    mu = jnp.full((500,), 0.1)
+    sig = jnp.full((500,), 0.7)
+    a = texture.get_scattering(vol_t, dens, mu, sig, pts, cfg_t)
+    b = texture.get_scattering(vol_p, dens, mu, sig, pts, cfg_p)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_table_mode_bit_identical_to_procedural():
     """The materialised table is filled from procedural_fields, so the table
     gather and the on-the-fly hash evaluation agree bit-for-bit at every
