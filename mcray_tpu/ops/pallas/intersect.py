@@ -1145,30 +1145,50 @@ def intersect_closest_listed(
 
 def _intersect_grouped_kernel(counts_ref, rays_ref, tris_ref, t_ref, idx_ref,
                               *, eps: float):
-    """Cluster-major closest hit: ONE program per cluster, the cluster's
-    (<= G) slab-hitting rays as SUBLANE rows, its tile_t triangles as lanes.
-    Every lane does useful Moller-Trumbore work regardless of ray coherence
-    — the per-packet kernels' weakness on isotropic rays is that a packet's
-    cluster-list UNION saturates (measured 68x the per-ray incidence floor
-    on the 200k-tri bounce set) while per-ray lists average ~5 clusters.
-    Rays appear once per (ray, cluster) incidence; the per-ray winner is
-    reduced outside (sort-based, see intersect_closest_grouped)."""
+    """Cluster-major closest hit: each program handles B clusters, each
+    cluster's (<= G) slab-hitting rays as SUBLANE rows (B row-blocks of G),
+    its tile_t triangles as lanes. Every lane does useful Moller-Trumbore
+    work regardless of ray coherence — the per-packet kernels' weakness on
+    isotropic rays is that a packet's cluster-list UNION saturates
+    (measured 68x the per-ray incidence floor on the 200k-tri bounce set)
+    while per-ray lists average ~5 clusters. Triangle operands differ per
+    row-block; they are stacked along sublanes (cheap tile concatenation),
+    so one (B*G, tile_t) Moller-Trumbore covers all B clusters. B amortises
+    the per-program grid cost, which dominated at 1M tris (7840 singleton
+    programs). Rays appear once per (ray, cluster) incidence; the per-ray
+    winner is reduced outside (sort-based, see intersect_closest_grouped)."""
     i = pl.program_id(0)
-    g = rays_ref.shape[0]
+    b = tris_ref.shape[0]
+    rows = rays_ref.shape[0]
+    g = rows // b
     tile_t = tris_ref.shape[2]
     t_ref[:] = jnp.full_like(t_ref, NO_HIT_T)
     idx_ref[:] = jnp.zeros_like(idx_ref)
 
-    @pl.when(counts_ref[0, 0, 0] > 0)
+    total = counts_ref[0, 0, 0]
+    for bb in range(1, b):
+        total += counts_ref[bb, 0, 0]
+
+    @pl.when(total > 0)
     def _():
         def rcol(f):
-            return rays_ref[:, f].reshape(g, 1)
+            return rays_ref[:, f].reshape(rows, 1)
 
         ox, oy, oz = rcol(0), rcol(1), rcol(2)
         sx, sy, sz = rcol(3), rcol(4), rcol(5)
 
         def trow(f):
-            return tris_ref[0, f, :].reshape(1, tile_t)
+            if b == 1:
+                return tris_ref[0, f, :].reshape(1, tile_t)
+            return jnp.concatenate(
+                [
+                    jnp.broadcast_to(
+                        tris_ref[bb, f, :].reshape(1, tile_t), (g, tile_t)
+                    )
+                    for bb in range(b)
+                ],
+                axis=0,
+            )
 
         v0x, v0y, v0z = trow(0), trow(1), trow(2)
         e1x, e1y, e1z = trow(3), trow(4), trow(5)
@@ -1195,10 +1215,17 @@ def _intersect_grouped_kernel(counts_ref, rays_ref, tris_ref, t_ref, idx_ref,
             det_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
             & (t > 0.0) & (t < 1.0)
         )
-        t = jnp.where(valid, t, NO_HIT_T)       # (g, tile_t)
+        t = jnp.where(valid, t, NO_HIT_T)       # (rows, tile_t)
 
-        t_ref[:] = jnp.min(t, axis=1, keepdims=True)             # (g, 1)
-        idx_ref[:] = i * tile_t + jnp.argmin(t, axis=1).reshape(g, 1)
+        # global slot = cluster_id(row) * tile_t + argmin; cluster_id
+        # = i*b + row//g
+        cluster_row = (
+            i * b + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) // g
+        )
+        t_ref[:] = jnp.min(t, axis=1, keepdims=True)             # (rows, 1)
+        idx_ref[:] = (
+            cluster_row * tile_t + jnp.argmin(t, axis=1).reshape(rows, 1)
+        )
 
 
 def intersect_closest_grouped(
@@ -1210,6 +1237,7 @@ def intersect_closest_grouped(
     eps: float = 1e-9,
     group_g: int = 32,
     chunk_g: int = 4,
+    batch_b: int = 8,
     residual_tile_r: int = TILE_R,
 ):
     """Closest hit optimised for INCOHERENT (bounce-style) ray sets; same
@@ -1328,35 +1356,55 @@ def intersect_closest_grouped(
         jnp.any(counts_ch > chunk_g, axis=0) | (total_c > g)
     )  # (C,)
 
-    # 3) grouped kernel
+    # materialise the stage outputs once: they feed the kernel, the winner
+    # reduction AND the residual prepass, and XLA otherwise re-fuses the
+    # dense (N, C) extraction into each consumer (same pathology as the
+    # hit3/rank barrier above; ~6 ms of duplicated work at 1M tris)
+    ids_k, pay_k, val_k, total_c, overflow_c = jax.lax.optimization_barrier(
+        (ids_k, pay_k, val_k, total_c, overflow_c)
+    )
+
+    # 3) grouped kernel — B clusters per program to amortise the per-program
+    # grid cost (measured ~0.28 us/program: 7840 singleton programs were
+    # 2.2 ms of the 1M-tri query)
+    b = batch_b
+    c_pad = (-c_tot) % b
+    c_k = c_tot + c_pad
     pay_k = jnp.where(val_k[:, :, None], pay_k, 0.0)
     rays_k = jnp.pad(
-        pay_k.reshape(c_tot * g, 6), ((0, 0), (0, 2))
-    )  # (C*G, 8)
-    # (C, 1, 1) with a (1, 1, 1) block: the last two block dims equal the
+        pay_k.reshape(c_tot * g, 6), ((0, c_pad * g), (0, 2))
+    )  # (C_k*G, 8)
+    hbm_tris = jax.lax.stop_gradient(packed.hbm_tris)
+    counts_kernel = jnp.minimum(total_c, g)
+    if c_pad:
+        hbm_tris = jnp.pad(hbm_tris, ((0, c_pad), (0, 0), (0, 0)))
+        counts_kernel = jnp.pad(counts_kernel, ((0, c_pad),))
+    # (C, 1, 1) with a (B, 1, 1) block: the last two block dims equal the
     # array dims, which Mosaic's SMEM block-shape rule requires
-    counts_kernel = jnp.minimum(total_c, g).reshape(c_tot, 1, 1)
+    counts_kernel = counts_kernel.reshape(c_k, 1, 1)
     t_inc, idx_inc = pl.pallas_call(
         functools.partial(_intersect_grouped_kernel, eps=eps),
-        grid=(c_tot,),
+        grid=(c_k // b,),
         in_specs=[
-            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((g, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((b * g, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, 16, packed.tile_t), lambda i: (i, 0, 0),
+                (b, 16, packed.tile_t), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=(
-            pl.BlockSpec((g, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b * g, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b * g, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((c_tot * g, 1), jnp.float32),
-            jax.ShapeDtypeStruct((c_tot * g, 1), jnp.int32),
+            jax.ShapeDtypeStruct((c_k * g, 1), jnp.float32),
+            jax.ShapeDtypeStruct((c_k * g, 1), jnp.int32),
         ),
         interpret=interpret,
-    )(counts_kernel, rays_k, jax.lax.stop_gradient(packed.hbm_tris))
+    )(counts_kernel, rays_k, hbm_tris)
+    t_inc = t_inc[: c_tot * g]
+    idx_inc = idx_inc[: c_tot * g]
 
     # 4) per-ray winner: (ray, t, slot) sort + stable winners-first sort
     val_flat = val_k.reshape(c_tot * g)
@@ -1379,8 +1427,9 @@ def intersect_closest_grouped(
         ((~is_first).astype(jnp.int32), t_s, slot_s),
         dimension=0, num_keys=1, is_stable=True,
     )
-    grouped_t = t_w[:n_tot]
-    grouped_slot = slot_w[:n_tot]
+    grouped_t, grouped_slot = jax.lax.optimization_barrier(
+        (t_w[:n_tot], slot_w[:n_tot])
+    )
 
     # 5) residual listed pass over overflow clusters only, seeded with the
     # grouped winners (t_init arms the listed early-stop with per-ray caps)

@@ -158,15 +158,24 @@ def postproc_cost(cfg) -> StageCost:
     return StageCost("postproc", flops, bytes_, "vpu")
 
 
-def scanconv_cost(cfg, band_r: int | None = None) -> StageCost:
+def scanconv_cost(cfg, band_r: int | None = None,
+                  banded: tuple | None = None) -> StageCost:
     """MXU one-hot-matmul scan conversion: per output row, a
     (rf_cols x K) @ (K x w_pad) bf16 matmul plus the one-hot build,
-    2 FLOPs/MAC — K = the full padded RF row count, or ``band_r`` for the
-    banded kernel (per-column-tile RF row bands)."""
+    2 FLOPs/MAC — K = the full padded RF row count, ``band_r`` for the
+    (rejected r4) per-column-tile banded kernel, or ``banded=(band_k,
+    split_rows)`` for the r5 split kernel (split_rows apex rows at full
+    contraction, the rest over band_k-row windows)."""
     r_pad = ((cfg.rf_rows + 127) // 128) * 128
     w_pad = ((cfg.bmode_cols + 127) // 128) * 128
-    k = band_r if band_r else r_pad
-    flops = 2.0 * cfg.bmode_rows * cfg.rf_cols * k * w_pad
+    if banded is not None:
+        band_k, split_rows = banded
+        flops = 2.0 * cfg.rf_cols * w_pad * (
+            split_rows * r_pad + (cfg.bmode_rows - split_rows) * band_k
+        )
+    else:
+        k = band_r if band_r else r_pad
+        flops = 2.0 * cfg.bmode_rows * cfg.rf_cols * k * w_pad
     bytes_ = (
         cfg.rf_rows * cfg.rf_cols * 4          # RF image (VMEM-resident)
         + cfg.bmode_rows * 8 * w_pad * 4       # interpolation table

@@ -92,7 +92,17 @@ def stage_table(scene_path: str, inner: int = 16, reps: int = 4) -> dict:
 
     rf_env = jax.block_until_ready(jax.jit(post_fn)(rf_raw))
 
-    if sim.scan_table is not None:
+    if sim.scan_table is not None and sim.scan_banded is not None:
+        from mcray_tpu.ops.pallas.scanconv import scan_convert_banded
+
+        j_w, band_k, band_split = sim.scan_banded
+
+        def scan_fn(rf, table):
+            return scan_convert_banded(
+                rf, table, j_w, cfg.bmode_cols, band_k=band_k,
+                split=band_split,
+            )
+    elif sim.scan_table is not None:
         from mcray_tpu.ops.pallas.scanconv import scan_convert_pallas
 
         def scan_fn(rf, table):
@@ -162,7 +172,14 @@ def stage_table(scene_path: str, inner: int = 16, reps: int = 4) -> dict:
             cfg, touched, TILE_ROWS, TILE_C, int(np.prod(soa.shape)) * 4,
             cfg.rf_cols),
         "postproc": R.postproc_cost(cfg),
-        "scan_convert": R.scanconv_cost(cfg),
+        "scan_convert": R.scanconv_cost(
+            cfg,
+            banded=(
+                (sim.scan_banded[1],
+                 min(sim.scan_banded[2] * 8, cfg.bmode_rows))
+                if sim.scan_banded is not None else None
+            ),
+        ),
     }
 
     # ---- measured DEVICE times (profiler; tunnel-immune) ------------------
