@@ -119,6 +119,9 @@ def load_and_compile(scene_path: str, cfg: SimConfig | None = None, **kw) -> Sce
     if missing:
         if {"BOX.obj", "SPHERE.obj"} & set(missing):
             primitives.ensure_assets(asset_dir)
+        elif "mega" in os.path.basename(os.path.normpath(asset_dir)):
+            # ~620k-tri phantom set for the mega full-frame scene
+            primitives.ensure_ircad_mega_assets(asset_dir)
         elif "hd" in os.path.basename(os.path.normpath(asset_dir)):
             # high-poly (~125k tris) phantom set for *_hd scenes
             primitives.ensure_ircad_hd_assets(asset_dir)

@@ -90,6 +90,7 @@ def main() -> int:
     from mcray_tpu.ops.bvh import build_bvh
     from mcray_tpu.ops.pallas.intersect import (
         intersect_closest_culled,
+        intersect_closest_grouped,
         intersect_closest_listed,
         intersect_closest_pallas,
         intersect_closest_staged,
@@ -123,6 +124,13 @@ def main() -> int:
     def case_staged(o, s, tj, mj, p128, p256):
         return intersect_closest_staged(o, s, p256, interpret=itp)["t"]
 
+    def case_grouped(o, s, tj, mj, p128, p256):
+        # cluster-major kernel (r5): per-ray-grade pruning for incoherent
+        # ray sets; batch_b=16 amortises grid cost at mega-scene C
+        return intersect_closest_grouped(
+            o, s, p128, interpret=itp, batch_b=16
+        )["t"]
+
     cases = [
         ("brute", case_brute),
         ("culled", case_culled),
@@ -131,6 +139,7 @@ def main() -> int:
         ("listed-hier", listed("hier", False)),
         ("listed-hier+sort", listed("hier", True)),
         ("listed-frustum+sort", listed("frustum", True)),
+        ("grouped", case_grouped),
     ]
     perturb = lambda c, o, s, *rest: (o + c * 1e-7, s, *rest)
 

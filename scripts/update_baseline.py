@@ -31,6 +31,7 @@ ART = {
     "stress": "/tmp/stress_auto.json",
     "roofline": "/tmp/roofline_auto.json",
     "roofline_hd": "/tmp/roofline_hd_auto.json",
+    "mega": "/tmp/mega_auto.json",
 }
 
 
@@ -74,6 +75,39 @@ def run_roofline_hd() -> dict:
     )
     with open(ART["roofline_hd"]) as f:
         return json.load(f)
+
+
+def run_mega() -> dict:
+    subprocess.run(
+        [sys.executable, "scripts/mega_frame_bench.py",
+         "--json-out", ART["mega"]],
+        cwd=ROOT, timeout=3600, check=True,
+    )
+    with open(ART["mega"]) as f:
+        return json.load(f)
+
+
+def mega_md(m: dict) -> str:
+    lines = [
+        f"Full frames (all bounces + march + postproc + scan conversion) on "
+        f"the shipped ~{m['triangles']:,}-triangle `{m['scene']}` phantom — "
+        f"the real mixed-coherence ray population, device times "
+        f"(jax.profiler, scripts/mega_frame_bench.py):",
+        "",
+        "| intersect mode | frame ms | rays/s | matches listed |",
+        "|---|---|---|---|",
+    ]
+    for mode in ("listed", "grouped"):
+        if f"{mode}_frame_ms" not in m:
+            continue
+        agree = "ref" if mode == "listed" else (
+            "yes" if m.get(f"{mode}_agree") else "NO"
+        )
+        lines.append(
+            f"| {mode} | {m[f'{mode}_frame_ms']} "
+            f"| {m[f'{mode}_rays_per_s']:,} | {agree} |"
+        )
+    return "\n".join(lines)
 
 
 def headline_md(b: dict) -> str:
@@ -122,17 +156,19 @@ def stress_md(rows: list) -> str:
         "`agree` = bitwise match vs brute on hit/t. fan = coherent probe "
         "rays, bounce = isotropic scattered rays.",
         "",
-        "| tris | rays | brute | culled | staged | listed-exact | listed-hier | hier speedup |",
-        "|---|---|---|---|---|---|---|---|",
+        "| tris | rays | brute | culled | staged | listed-exact | listed-hier | grouped | best speedup |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         b = r.get("brute")
-        h = r.get("listed-hier")
-        sp = f"{b/h:.0f}x" if (b and h) else "—"
+        cand = [r.get(k) for k in ("listed-exact", "listed-hier", "grouped")]
+        best = min((c for c in cand if c), default=None)
+        sp = f"{b/best:.0f}x" if (b and best) else "—"
         lines.append(
             f"| {r['tris']:,} | {r['rays']} | {b if b is not None else '—'} "
             f"| {r.get('culled', '—')} | {r.get('staged', '—')} "
-            f"| {r.get('listed-exact', '—')} | {h} | {sp} |"
+            f"| {r.get('listed-exact', '—')} | {r.get('listed-hier', '—')} "
+            f"| {r.get('grouped', '—')} | {sp} |"
         )
     return "\n".join(lines)
 
@@ -155,7 +191,7 @@ def main() -> int:
     ap.add_argument("--use-cached", action="store_true",
                     help="patch BASELINE.md from existing /tmp artifacts")
     ap.add_argument("--skip", nargs="*", default=[],
-                    choices=["bench", "stress", "roofline"])
+                    choices=["bench", "stress", "roofline", "mega"])
     args = ap.parse_args()
 
     if args.use_cached:
@@ -173,6 +209,8 @@ def main() -> int:
         if "roofline" not in args.skip:
             data["roofline"] = run_roofline()
             data["roofline_hd"] = run_roofline_hd()
+        if "mega" not in args.skip:
+            data["mega"] = run_mega()
 
     path = os.path.join(ROOT, "BASELINE.md")
     with open(path) as f:
@@ -186,6 +224,8 @@ def main() -> int:
         md = patch(md, "roofline", body)
     if "stress" in data:
         md = patch(md, "stress", stress_md(data["stress"]))
+    if "mega" in data:
+        md = patch(md, "mega", mega_md(data["mega"]))
     with open(path, "w") as f:
         f.write(md)
     print(f"BASELINE.md updated from: {sorted(data)}")
