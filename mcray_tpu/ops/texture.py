@@ -80,8 +80,12 @@ def hash_u32(x: Array) -> Array:
 
 # dithered-binomial normaliser: z = (popcount(hi16) + U(0,1) - 8.5) / sqrt(
 # Var[Binomial(16, 1/2)] + Var[U]) = (pc + u - 8.5) / sqrt(4 + 1/12).
-# float32 literal so jnp and the Pallas kernel use the identical constant.
-BITSUM_SCALE = float(jnp.float32(1.0 / (4.0 + 1.0 / 12.0) ** 0.5))
+# f32-rounded via NUMPY so jnp and the Pallas kernel share the identical
+# constant — an import-time jnp value would initialise the XLA backend
+# before the CLI can force a platform / jax.distributed can initialize.
+import numpy as _np
+
+BITSUM_SCALE = float(_np.float32(1.0 / (4.0 + 1.0 / 12.0) ** 0.5))
 
 
 def _bitsum_normal(bits: Array) -> Array:

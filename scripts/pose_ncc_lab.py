@@ -82,9 +82,13 @@ def main() -> int:
     mats = sim.materials
 
     def compound(pos, mats, state):
-        return jax.vmap(
+        # lax.map + checkpoint: frames render sequentially and the backward
+        # rematerialises per frame — an 8-frame vmapped backward already
+        # exceeds the 16 GB HBM (measured r5); memory is now ~1 frame's.
+        one = jax.checkpoint(
             lambda k: render_impl(k, mats, pos, ang, state)["bmode"]
-        )(keys).mean(0)
+        )
+        return jax.lax.map(one, keys).mean(0)
 
     target = jax.jit(compound)(true_pos, mats, state)
     tmax_np = float(jnp.max(target))

@@ -48,13 +48,16 @@ def test_log_compression_flag():
 
 
 # Golden stats for seed 0, small_test_config(32 elements, 2 samples),
-# procedural texture. Regenerate by running this file with
+# procedural texture, scatter_rng="bitsum" (the r5 default changed the
+# speckle realisation — the r4 boxmuller goldens were rf_sum 162.54349,
+# nonzero 0.10773, mean 0.10387, max 2.27137; note how close the
+# realisation-level statistics stay). Regenerate with
 # REGEN_GOLDEN=1 python -m pytest tests/test_scene_runtime.py -k golden -s
 GOLDEN = {
-    "rf_sum": 162.54349,
-    "rf_nonzero_frac": 0.10773,
-    "bmode_mean": 0.10387,
-    "bmode_max": 2.27137,
+    "rf_sum": 141.08249,
+    "rf_nonzero_frac": 0.10786,
+    "bmode_mean": 0.09994,
+    "bmode_max": 2.22962,
 }
 
 
