@@ -408,6 +408,7 @@ def render(
                 scan_convert_banded(
                     rf_env, scan_table, j_w, cfg.bmode_cols,
                     band_k=band_k, split=band_split,
+                    out_rows=cfg.bmode_rows,
                 ),
                 0.0,
             )

@@ -230,7 +230,7 @@ def _scanconv_banded_bwd_kernel(
 
 
 @functools.lru_cache(maxsize=None)
-def _scanconv_banded_op(out_cols: int, band_k: int, split: int,
+def _scanconv_banded_op(out_rows: int, out_cols: int, band_k: int, split: int,
                         j_bytes: bytes, interpret: bool, precision_str: str):
     precision = jax.lax.Precision(precision_str)
     j_windows = np.frombuffer(j_bytes, np.int32)
@@ -257,7 +257,9 @@ def _scanconv_banded_op(out_cols: int, band_k: int, split: int,
 
     def fwd_call(rf, table):
         rf_rows, rf_cols = rf.shape
-        out_rows_real = min(n_blocks * TILE_I, table.shape[0])
+        # the table is padded to whole TILE_I blocks; out_rows is the REAL
+        # output height (e.g. 100 -> 13 blocks of 104 padded rows)
+        out_rows_real = out_rows
         w_pad = table.shape[2]
         r_pad = _round_up(rf_rows, 8)
         c_pad = _round_up(rf_cols, 8)
@@ -332,7 +334,7 @@ def _scanconv_banded_op(out_cols: int, band_k: int, split: int,
 
     def bwd_call(table, g, rf_shape):
         rf_rows, rf_cols = rf_shape
-        out_rows_real = min(n_blocks * TILE_I, table.shape[0])
+        out_rows_real = out_rows
         w_pad = table.shape[2]
         r_pad = _round_up(rf_rows, 8)
         c_pad = _round_up(rf_cols, 8)
@@ -422,6 +424,7 @@ def scan_convert_banded(
     *,
     band_k: int,
     split: int,
+    out_rows: int | None = None,
     interpret: bool = False,
     precision: str = "default",
 ):
@@ -429,10 +432,15 @@ def scan_convert_banded(
     scan_convert_pallas with ~0.57x its formulation FLOPs for the default
     geometry (apex prefix at full contraction + banded suffix at band_k).
     ``j_windows`` must be the host numpy array from pack_scan_maps_banded
-    (inlined as a constant — tiny, pack-time static)."""
+    (inlined as a constant — tiny, pack-time static). ``out_rows`` is the
+    REAL output height when it is not a TILE_I multiple (the banded table
+    is padded to whole blocks)."""
     j_bytes = np.asarray(j_windows, np.int32).tobytes()
+    n_blocks = np.asarray(j_windows).shape[0]
+    if out_rows is None:
+        out_rows = n_blocks * TILE_I
     return _scanconv_banded_op(
-        out_cols, band_k, split, j_bytes, interpret, precision
+        out_rows, out_cols, band_k, split, j_bytes, interpret, precision
     )(rf, table)
 
 

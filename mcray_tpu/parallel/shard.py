@@ -73,6 +73,7 @@ def _shard_render_body(
     use_pallas: bool = False,
     pallas_interpret: bool = False,
     use_pallas_scanconv: bool = False,
+    scan_banded: tuple | None = None,
 ):
     scene = state["scene"]
     spacing = state["spacing"]
@@ -132,16 +133,32 @@ def _shard_render_body(
         # exercised under shard_map so the sharded composition covers every
         # Pallas kernel (VERDICT r4 item 5). precision="highest" keeps it
         # f32-exact vs imaging.scan_convert in interpret-mode CPU tests.
-        from ..ops.pallas.scanconv import scan_convert_pallas
+        # scan_banded: the r5 split/banded formulation (static pack data
+        # rides the functools.partial, the table rides the state pytree).
+        precision = "highest" if pallas_interpret else "default"
+        if scan_banded is not None:
+            from ..ops.pallas.scanconv import scan_convert_banded
 
-        bmode = jnp.maximum(
-            scan_convert_pallas(
-                rf_env, state["scan_table"], cfg.bmode_cols,
-                interpret=pallas_interpret,
-                precision="highest" if pallas_interpret else "default",
-            ),
-            0.0,
-        )
+            j_w, band_k, band_split = scan_banded
+            bmode = jnp.maximum(
+                scan_convert_banded(
+                    rf_env, state["scan_table"], j_w, cfg.bmode_cols,
+                    band_k=band_k, split=band_split,
+                    out_rows=cfg.bmode_rows,
+                    interpret=pallas_interpret, precision=precision,
+                ),
+                0.0,
+            )
+        else:
+            from ..ops.pallas.scanconv import scan_convert_pallas
+
+            bmode = jnp.maximum(
+                scan_convert_pallas(
+                    rf_env, state["scan_table"], cfg.bmode_cols,
+                    interpret=pallas_interpret, precision=precision,
+                ),
+                0.0,
+            )
     else:
         bmode = imaging.scan_convert(rf_env, scan_maps[0], scan_maps[1])
     return bmode, rf_local
@@ -338,12 +355,15 @@ class ShardedRenderer:
         if use_pallas_scanconv is None:
             use_pallas_scanconv = bool(use_pallas) and not pallas_interpret
         scan_table = None
+        scan_banded = None
         if use_pallas_scanconv:
-            from ..ops.pallas.scanconv import pack_scan_maps
+            from ..ops.pallas.scanconv import pack_scan_maps_banded
 
-            scan_table = jnp.asarray(
-                pack_scan_maps(maps[0], maps[1], cfg.rf_rows, cfg.rf_cols)
+            tb, j_w, band_k, band_split = pack_scan_maps_banded(
+                maps[0], maps[1], cfg.rf_rows, cfg.rf_cols
             )
+            scan_table = jnp.asarray(tb)
+            scan_banded = (j_w, band_k, band_split)
 
         axis = self.axis
         self._state = {
@@ -365,6 +385,7 @@ class ShardedRenderer:
             use_pallas=bool(use_pallas),
             pallas_interpret=pallas_interpret,
             use_pallas_scanconv=use_pallas_scanconv,
+            scan_banded=scan_banded,
         )
         sharded = jax.shard_map(
             body,

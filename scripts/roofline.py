@@ -100,7 +100,7 @@ def stage_table(scene_path: str, inner: int = 16, reps: int = 4) -> dict:
         def scan_fn(rf, table):
             return scan_convert_banded(
                 rf, table, j_w, cfg.bmode_cols, band_k=band_k,
-                split=band_split,
+                split=band_split, out_rows=cfg.bmode_rows,
             )
     elif sim.scan_table is not None:
         from mcray_tpu.ops.pallas.scanconv import scan_convert_pallas

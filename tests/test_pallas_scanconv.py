@@ -57,7 +57,8 @@ def test_scanconv_banded_matches_jnp(rng, probe):
     out = np.asarray(
         scan_convert_banded(
             rf, jnp.asarray(tb), j_w, cfg.bmode_cols,
-            band_k=band_k, split=split, interpret=True, precision="highest",
+            band_k=band_k, split=split, out_rows=cfg.bmode_rows,
+            interpret=True, precision="highest",
         )
     )
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
@@ -65,7 +66,8 @@ def test_scanconv_banded_matches_jnp(rng, probe):
     def loss_b(rf):
         return jnp.sum(scan_convert_banded(
             rf, jnp.asarray(tb), j_w, cfg.bmode_cols,
-            band_k=band_k, split=split, interpret=True, precision="highest",
+            band_k=band_k, split=split, out_rows=cfg.bmode_rows,
+            interpret=True, precision="highest",
         ) ** 2)
 
     def loss_j(rf):
