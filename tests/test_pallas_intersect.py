@@ -192,7 +192,13 @@ def test_grouped_intersect_matches_jnp(rng):
     )
     for oo, ss, label in ((o, seg, "bounce+dead"), (o_fan, seg_fan, "fan")):
         a = intersect_closest(oo, ss, tris, mid)
-        for kw in ({"group_g": 32, "chunk_g": 4}, {"group_g": 8, "chunk_g": 1}):
+        for kw in (
+            {"group_g": 32, "chunk_g": 4},
+            {"group_g": 8, "chunk_g": 1},
+            # batch_b > n_clusters forces the cluster-padding path
+            # (hbm_tris/counts padded to a batch multiple)
+            {"group_g": 16, "chunk_g": 2, "batch_b": 16},
+        ):
             b = intersect_closest_grouped(oo, ss, packed, interpret=True, **kw)
             np.testing.assert_array_equal(
                 np.asarray(a["hit"]), np.asarray(b["hit"]), err_msg=label
