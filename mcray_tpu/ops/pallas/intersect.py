@@ -385,7 +385,12 @@ def pack_tris_culled(
 def _winner_hits(origins, seg_vecs, packed: CulledTris, best_slot, hit, eps):
     """Shared wrapper tail: differentiable t of the kernel-chosen winner plus
     point/normal/mesh id, from ONE (N, 10) slot_all gather (separate
-    v0/e1/e2/mesh gathers cost ~4x in serialized XLA gather loops)."""
+    v0/e1/e2/mesh gathers cost ~4x in serialized XLA gather loops).
+    A one-hot-matmul replacement was measured r5 and REJECTED: with 10
+    contiguous values per gathered row the gather amortises well, and the
+    (2560, n_slots) one-hot build + f32-exact matmul came out slower
+    (sphere trace 0.589 -> 0.608 ms). The one-hot trick only wins for
+    the (N,)-per-row lookups physics.take_rows serves."""
     rows = packed.slot_all[best_slot]
     v0, e1, e2 = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
     mesh = rows[:, 9].astype(jnp.int32)
