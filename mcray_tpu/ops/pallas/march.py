@@ -118,6 +118,15 @@ def _scat_eval(px, py, pz, mu0, mu1, sigma, seed0, seed1, cfg: SimConfig,
             i0 = jnp.floor(f).astype(jnp.int32)
             return i0, f - jnp.floor(f)
 
+        pow2 = size & (size - 1) == 0
+
+        def wrap_mod(q):
+            # two's-complement AND == double-mod wrap for power-of-two
+            # sizes (bit-identical twin of texture._wrap_mod)
+            if pow2:
+                return q & jnp.int32(size - 1)
+            return jnp.mod(jnp.mod(q, size) + size, size)
+
         i0x, wx = prep(px)
         i0y, wy = prep(py)
         i0z, wz = prep(pz)
@@ -129,7 +138,7 @@ def _scat_eval(px, py, pz, mu0, mu1, sigma, seed0, seed1, cfg: SimConfig,
             for oy in (0, 1):
                 for oz in (0, 1):
                     def wrap(i0, off):
-                        return jnp.mod(jnp.mod(i0 + off, size) + size, size)
+                        return wrap_mod(i0 + off)
 
                     n_t, p_t = _voxel_fields(
                         wrap(i0x, ox), wrap(i0y, oy), wrap(i0z, oz),
@@ -151,8 +160,12 @@ def _scat_eval(px, py, pz, mu0, mu1, sigma, seed0, seed1, cfg: SimConfig,
                         dp_dw[1] += p_t * sy * wfx * wfz
                         dp_dw[2] += p_t * sz * wfx * wfy
     else:
+        pow2 = size & (size - 1) == 0
+
         def wrap(x):
             q = jnp.trunc(x / res).astype(jnp.int32)
+            if pow2:  # AND == double-mod wrap (texture._wrap_mod twin)
+                return q & jnp.int32(size - 1)
             return jnp.mod(jnp.mod(q, size) + size, size)
 
         noise, prob = _voxel_fields(

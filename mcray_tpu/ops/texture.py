@@ -119,10 +119,20 @@ def procedural_fields(ix: Array, iy: Array, iz: Array, seeds: Array, size: int,
     return r * jnp.cos(theta), r * jnp.sin(theta)
 
 
+def _wrap_mod(q: Array, size: int) -> Array:
+    """((q % size) + size) % size for possibly-negative int q. For
+    power-of-two sizes (the default 256) this is exactly ``q & (size-1)``
+    in two's complement — one AND instead of two int mods (the march
+    kernel evaluates six of these per sample)."""
+    if size & (size - 1) == 0:
+        return q & jnp.int32(size - 1)
+    return jnp.mod(jnp.mod(q, size) + size, size)
+
+
 def _wrap_index(x: Array, res_mm: float, size: int) -> Array:
     """static_cast<unsigned>(x/res) % size for possibly-negative x."""
     q = jnp.trunc(x / res_mm).astype(jnp.int32)
-    return jnp.mod(jnp.mod(q, size) + size, size)
+    return _wrap_mod(q, size)
 
 
 def get_scattering(
@@ -153,7 +163,7 @@ def get_scattering(
         w = f - i0
 
         def tap(offset):
-            idx = jnp.mod(jnp.mod(i0 + offset, size) + size, size)
+            idx = _wrap_mod(i0 + offset, size)
             n, p = fetch(idx[..., 0], idx[..., 1], idx[..., 2])
             wt = jnp.prod(
                 jnp.where(jnp.asarray(offset) == 1, w, 1.0 - w), axis=-1
